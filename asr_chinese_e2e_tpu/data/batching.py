@@ -1,0 +1,164 @@
+"""Host-side input pipeline: wav loading, length-bucketed static-shape
+batching, per-host sharding.
+
+Replaces the reference's DataLoader stack (``data/data_loader/ai_shell_1.py:
+12-104``, ``Predictor/data_handler/padder.py:4-28``) with a TPU-first
+design (SURVEY §7 risk register "static shapes vs variable-length audio"):
+
+- the reference pads each batch to its own max length (``padder.py:4-28``),
+  which would force an XLA recompile per batch; here utterances are bucketed
+  by duration and every batch is padded to its bucket's fixed boundary, so
+  there is exactly ONE compiled program per bucket;
+- batches carry RAW waveforms — fbank/CMVN/LFR run on device inside the
+  jitted step (the reference parses audio per-utterance on the host,
+  ``processor.py:61-71``);
+- ``drop_last`` semantics preserved (``ai_shell_1.py:103``) — required
+  anyway so per-bucket global batch sizes are consistent across hosts;
+- multi-host: each host reads a disjoint manifest shard under a shared
+  seed (reference has no multi-host story, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import wave as wavelib
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from .manifest import read_manifest
+from .vocab import Vocab
+
+# AISHELL-1 utterances are ~1.2-14.5 s @ 16 kHz; boundaries chosen from the
+# duration histogram so most batches land in the 4-8 s buckets.
+DEFAULT_BUCKET_SECONDS = (2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 15.0)
+
+
+def load_wav(path: str) -> np.ndarray:
+    """PCM16 wav -> float32 in [-1, 1), downmixing channels by mean
+    (parity: ``Predictor/data_handler/loader.py:5-17``)."""
+    with wavelib.open(path, "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"{path}: only PCM16 supported, got width {width}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x
+
+
+@dataclasses.dataclass
+class Batch:
+    """One static-shape training batch (the ``Pack`` analogue,
+    ``Predictor/Utils/pack.py:3-27``, as plain arrays)."""
+
+    wave: np.ndarray  # (B, S) float32, zero-padded to bucket boundary
+    wave_lengths: np.ndarray  # (B,) int32 valid sample counts
+    labels: np.ndarray  # (B, L) int32, PAD(0)-padded
+    label_lengths: np.ndarray  # (B,) int32
+    texts: List[str]  # raw transcripts (for CER at eval cadence)
+    bucket: int  # bucket boundary in samples (compile key)
+
+
+class BucketedLoader:
+    """Length-bucketed, shuffled, per-host-sharded batch iterator."""
+
+    def __init__(
+        self,
+        manifest_path: str,
+        vocab: Vocab,
+        batch_size: int,
+        max_target_len: int = 64,
+        bucket_seconds: Sequence[float] = DEFAULT_BUCKET_SECONDS,
+        sample_rate: int = 16000,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        max_frames: int | None = None,
+    ) -> None:
+        records = read_manifest(manifest_path)
+        self.boundaries = [int(s * sample_rate) for s in bucket_seconds]
+        max_samples = self.boundaries[-1]
+        kept = []
+        for r in records:
+            n = r.get("frames", -1)
+            if n < 0:
+                n = max_samples  # unknown length -> top bucket
+            if max_frames is not None and n > max_frames:
+                continue  # the reference's (commented) length filter
+            if n > max_samples:
+                continue
+            if len(vocab.str_to_ids(r["tgt"])) > max_target_len:
+                continue
+            kept.append((r, n))
+        self.records = kept
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.max_target_len = max_target_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+
+    def _bucket_of(self, n_samples: int) -> int:
+        for b in self.boundaries:
+            if n_samples <= b:
+                return b
+        return self.boundaries[-1]
+
+    def __len__(self) -> int:
+        """Number of batches per epoch for this host (drop_last)."""
+        counts: dict[int, int] = {}
+        shard = self.records[self.host_id :: self.num_hosts]
+        for _, n in shard:
+            b = self._bucket_of(n)
+            counts[b] = counts.get(b, 0) + 1
+        if self.drop_last:
+            return sum(c // self.batch_size for c in counts.values())
+        return sum(-(-c // self.batch_size) for c in counts.values())
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        """Deterministic per-epoch stream: shuffle(seed+epoch) -> shard by
+        host -> fill buckets in stream order, emit when full."""
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        shard = order[self.host_id :: self.num_hosts]
+
+        pending: dict[int, list] = {}
+        for idx in shard:
+            record, n = self.records[idx]
+            b = self._bucket_of(n)
+            pending.setdefault(b, []).append((record, n))
+            if len(pending[b]) == self.batch_size:
+                yield self._collate(pending.pop(b), b)
+        if not self.drop_last:
+            for b, items in pending.items():
+                if items:
+                    yield self._collate(items, b)
+
+    def _collate(self, items: list, boundary: int) -> Batch:
+        """Pad waves to the bucket boundary and targets to max_target_len
+        (the ``collat`` analogue, ``ai_shell_1.py:67-88`` — minus the
+        per-batch-max padding and the host->GPU copy)."""
+        bsz = len(items)
+        wave = np.zeros((bsz, boundary), dtype=np.float32)
+        wave_lengths = np.zeros((bsz,), dtype=np.int32)
+        labels = np.zeros((bsz, self.max_target_len), dtype=np.int32)
+        label_lengths = np.zeros((bsz,), dtype=np.int32)
+        texts = []
+        for i, (record, _) in enumerate(items):
+            x = load_wav(record["wave"])
+            n = min(len(x), boundary)
+            wave[i, :n] = x[:n]
+            wave_lengths[i] = n
+            ids = self.vocab.str_to_ids(record["tgt"])  # no bos/eos
+            label_lengths[i] = len(ids)
+            labels[i, : len(ids)] = ids
+            texts.append(record["tgt"])
+        return Batch(wave, wave_lengths, labels, label_lengths, texts, boundary)

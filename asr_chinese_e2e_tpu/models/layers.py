@@ -1,0 +1,194 @@
+"""Shared flax layers: sinusoidal PE, multi-head attention (with functional
+KV cache for decoding), position-wise FFN, conv subsampling front-end.
+
+Capability parity with ``Predictor/Models/attention.py:6-87`` and
+``Predictor/Models/module.py:8-75`` (Speech-Transformer style: scaled
+dot-product with temperature √d_k, attention dropout, residual + LayerNorm
+around each sublayer), redesigned for TPU:
+
+- masks are additive biases fused into the logits (see ``ops/masks.py``),
+  not ``masked_fill`` on boolean tensors;
+- attention math runs in a configurable compute dtype (bfloat16 on TPU) with
+  float32 softmax;
+- the KV cache is an explicit pytree argument (cache in → cache out), so
+  autoregressive decoding runs under ``lax.while_loop`` / ``lax.scan`` with
+  fixed shapes instead of the reference's per-hypothesis Python re-forward
+  (``transformer_official.py:359-380``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
+    """Sinusoidal positional encodings (``module.py:8-25``): sin on even
+    dims, cos on odd dims, angle = pos / 10000^(2i/d)."""
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    i = np.arange(d_model)[None, :]
+    angle = pos / np.power(10000.0, 2 * (i // 2) / d_model)
+    table = np.zeros((max_len, d_model))
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)
+
+
+class PositionalEncoding(nn.Module):
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        table = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        return x + table[None, : x.shape[1]].astype(x.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled dot-product MHA with additive-bias masking and explicit cache.
+
+    Parity target: ``attention.py:6-60`` (n_head, d_k, d_v, temperature
+    √d_k, attention dropout, output projection + dropout; residual+LN is
+    handled by the caller so pre/post-norm stay configurable).
+    """
+
+    num_heads: int
+    d_model: int
+    head_dim: int
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h, dk = self.num_heads, self.head_dim
+        dg = lambda name: nn.DenseGeneral(
+            features=(h, dk), axis=-1, name=name, dtype=self.dtype
+        )
+        self.q_proj, self.k_proj, self.v_proj = dg("q"), dg("k"), dg("v")
+        self.out_proj = nn.DenseGeneral(
+            features=self.d_model, axis=(-2, -1), name="out", dtype=self.dtype
+        )
+        self.attn_drop = nn.Dropout(self.dropout_rate)
+        self.out_drop = nn.Dropout(self.dropout_rate)
+
+    def kv(self, kv_in: jnp.ndarray):
+        """Project keys/values once (used to precompute cross-attn caches)."""
+        return self.k_proj(kv_in), self.v_proj(kv_in)
+
+    def _attend(self, q, k, v, bias, deterministic):
+        scale = 1.0 / np.sqrt(self.head_dim)  # attention.py:16 temperature
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias
+        weights = nn.softmax(logits, axis=-1).astype(self.dtype)
+        weights = self.attn_drop(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        return self.out_drop(self.out_proj(out), deterministic=deterministic)
+
+    def __call__(
+        self,
+        q_in: jnp.ndarray,  # (B, Tq, D)
+        kv_in: jnp.ndarray,  # (B, Tk, D)
+        bias: Optional[jnp.ndarray],  # additive, broadcastable (B,H,Tq,Tk)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = self.q_proj(q_in)
+        k, v = self.kv(kv_in)
+        return self._attend(q, k, v, bias, deterministic)
+
+    def step_self(self, x, cache: dict, index, bias):
+        """Cached self-attention decode step. x: (B, 1, D); cache holds
+        (B, Tmax, H, dk) key/value buffers; index is the write position."""
+        q = self.q_proj(x)
+        k_new, v_new = self.kv(x)
+        k = cache["k"].at[:, index].set(k_new[:, 0])
+        v = cache["v"].at[:, index].set(v_new[:, 0])
+        out = self._attend(q, k, v, bias, True)
+        return out, {"k": k, "v": v}
+
+    def step_cross(self, x, cache: dict, bias):
+        """Cross-attention decode step against precomputed enc k/v."""
+        q = self.q_proj(x)
+        return self._attend(q, cache["k"], cache["v"], bias, True)
+
+    def make_cache(self, batch: int, max_len: int):
+        shape = (batch, max_len, self.num_heads, self.head_dim)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+        }
+
+
+class PositionwiseFFN(nn.Module):
+    """d_model -> d_ff -> d_model with ReLU; the 1x1-conv variant the
+    reference uses (``module.py:51-75``) is algebraically this Dense pair."""
+
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.Dense(self.d_ff, dtype=self.dtype, name="w1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(y)
+        return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+
+class SubLayer(nn.Module):
+    """Residual + LayerNorm wrapper with configurable placement.
+
+    ``post`` reproduces the reference (LN after residual add,
+    ``attention.py:84``, ``module.py:33``); ``pre`` is the stability-
+    friendly variant for deep stacks. ``has_aux`` supports wrapped
+    functions that thread a cache through."""
+
+    norm_type: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, fn, has_aux: bool = False):
+        norm = nn.LayerNorm(dtype=self.dtype)
+        if self.norm_type == "pre":
+            if has_aux:
+                y, aux = fn(norm(x))
+                return x + y, aux
+            return x + fn(norm(x))
+        if has_aux:
+            y, aux = fn(x)
+            return norm(x + y), aux
+        return norm(x + fn(x))
+
+
+class ConvSubsampler(nn.Module):
+    """Conv2d front-end: two stride-2 3x3 convs -> 4x time reduction.
+
+    The reference only gestures at this (``Predictor/Models/CNNs/cnns.py:4-9``
+    stub); provided as the alternative to LFR stacking for feature-rate
+    reduction.
+    """
+
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        # x: (B, T, F) -> (B, T, F, 1) image
+        y = x[..., None].astype(self.dtype)
+        for i in range(2):
+            y = nn.Conv(
+                self.d_model // 8, (3, 3), strides=(2, 2), dtype=self.dtype,
+                name=f"conv{i}",
+            )(y)
+            y = nn.relu(y)
+        b, t, f, c = y.shape
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="proj")(
+            y.reshape(b, t, f * c)
+        )
+        out_lengths = lengths
+        for _ in range(2):
+            out_lengths = (out_lengths + 1) // 2  # SAME padding, stride 2
+        return y, out_lengths

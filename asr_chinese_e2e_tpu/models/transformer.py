@@ -1,0 +1,306 @@
+"""Speech-Transformer encoder/decoder with optional CTC head — the flagship
+model family.
+
+Capability parity with ``Predictor/Models/transformer_official.py:34-458``
+(the variant the reference actually trains, ``main.py:103``):
+
+- Encoder: Dense(input_dim→d_model) + LayerNorm + sinusoidal PE + dropout
+  (``transformer_official.py:147-177``), then N×(MHA + FFN) layers;
+- Decoder: tied input embedding / output projection
+  (``transformer_official.py:253-258``), sos/eos re-derivation from labels
+  (``preprocess``, ``transformer_official.py:260-275``), causal self-attn +
+  cross-attn + FFN layers;
+- default hyperparams d_model=512, 8 heads, d_k=64, d_ff=1024, dropout 0.1,
+  6+6 layers (``transformer_official.py:112-124``).
+
+TPU-first deltas (deliberate, SURVEY §7):
+- additive-bias masks built once per batch from lengths;
+- KV-cached ``decode_step`` so beam search is a fixed-shape device loop, not
+  a per-hypothesis Python re-forward (``transformer_official.py:359-380``);
+- optional CTC head on encoder outputs (hybrid objective — net-new);
+- optional Conv2d subsampling front-end (the ``CNNs/cnns.py:4-9`` intent);
+- bfloat16 compute / float32 params; pre- or post-norm.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
+from ..ops.masks import NEG_INF, causal_padding_bias, padding_bias
+from .layers import (
+    ConvSubsampler,
+    MultiHeadAttention,
+    PositionalEncoding,
+    PositionwiseFFN,
+    SubLayer,
+    sinusoid_table,
+)
+
+
+def default_config() -> Config:
+    """TransformerOffical defaults (``transformer_official.py:112-124``)."""
+    return Config(
+        d_model=512,
+        num_heads=8,
+        head_dim=64,
+        d_ff=1024,
+        num_encoder_layers=6,
+        num_decoder_layers=6,
+        dropout_rate=0.1,
+        norm_type="post",  # reference placement; "pre" available
+        input_dim=320,  # n_mels * lfr_m (transformer_official.py:42)
+        frontend="linear",  # or "conv2d" subsampling
+        ctc_weight=0.0,  # 0 == reference's pure-CE objective
+        label_smoothing=0.0,  # invoked at 0.0 in the reference
+        max_target_len=128,
+        dtype="float32",
+    )
+
+
+class EncoderLayer(nn.Module):
+    cfg: Config
+    dtype: Any
+
+    def setup(self):
+        c = self.cfg
+        self.attn = MultiHeadAttention(
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+        )
+        self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
+        self.sub1 = SubLayer(c.norm_type, self.dtype)
+        self.sub2 = SubLayer(c.norm_type, self.dtype)
+
+    def __call__(self, x, bias, deterministic=True):
+        x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
+        return self.sub2(x, lambda y: self.ffn(y, deterministic))
+
+
+class Encoder(nn.Module):
+    cfg: Config
+    dtype: Any
+
+    def setup(self):
+        c = self.cfg
+        if c.frontend == "conv2d":
+            self.frontend_mod = ConvSubsampler(c.d_model, self.dtype)
+        else:
+            self.input_proj = nn.Dense(c.d_model, dtype=self.dtype)
+            self.input_norm = nn.LayerNorm(dtype=self.dtype)
+        self.pe = PositionalEncoding(c.d_model)
+        self.dropout = nn.Dropout(c.dropout_rate)
+        self.layers = [
+            EncoderLayer(c, self.dtype, name=f"layer{i}")
+            for i in range(c.num_encoder_layers)
+        ]
+        self.final_norm = (
+            nn.LayerNorm(dtype=self.dtype) if c.norm_type == "pre" else None
+        )
+
+    def __call__(self, feats, feat_lengths, deterministic=True):
+        c = self.cfg
+        if c.frontend == "conv2d":
+            x, feat_lengths = self.frontend_mod(feats.astype(self.dtype), feat_lengths)
+        else:
+            x = self.input_norm(self.input_proj(feats.astype(self.dtype)))
+        x = self.pe(x)
+        x = self.dropout(x, deterministic=deterministic)
+        bias = padding_bias(feat_lengths, x.shape[1])
+        for layer in self.layers:
+            x = layer(x, bias, deterministic)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        return x, feat_lengths
+
+
+class DecoderLayer(nn.Module):
+    cfg: Config
+    dtype: Any
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = MultiHeadAttention(
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+        )
+        self.cross_attn = MultiHeadAttention(
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+        )
+        self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
+        self.sub1 = SubLayer(c.norm_type, self.dtype)
+        self.sub2 = SubLayer(c.norm_type, self.dtype)
+        self.sub3 = SubLayer(c.norm_type, self.dtype)
+
+    def __call__(self, x, enc_out, self_bias, cross_bias, deterministic=True):
+        x = self.sub1(x, lambda y: self.self_attn(y, y, self_bias, deterministic))
+        x = self.sub2(
+            x, lambda y: self.cross_attn(y, enc_out, cross_bias, deterministic)
+        )
+        return self.sub3(x, lambda y: self.ffn(y, deterministic))
+
+    def step(self, x, self_cache, cross_cache, index, self_bias, cross_bias):
+        """Cached single-token decode step. x: (B, 1, D)."""
+        x, new_self = self.sub1(
+            x,
+            lambda y: self.self_attn.step_self(y, self_cache, index, self_bias),
+            has_aux=True,
+        )
+        x = self.sub2(x, lambda y: self.cross_attn.step_cross(y, cross_cache, cross_bias))
+        x = self.sub3(x, lambda y: self.ffn(y, True))
+        return x, new_self
+
+    def make_cross_cache(self, enc_out):
+        k, v = self.cross_attn.kv(enc_out)
+        return {"k": k, "v": v}
+
+
+class Decoder(nn.Module):
+    cfg: Config
+    vocab_size: int
+    dtype: Any
+
+    def setup(self):
+        c = self.cfg
+        self.embed = nn.Embed(self.vocab_size, c.d_model, dtype=self.dtype)
+        self.pe = PositionalEncoding(c.d_model)
+        self.dropout = nn.Dropout(c.dropout_rate)
+        self.layers = [
+            DecoderLayer(c, self.dtype, name=f"layer{i}")
+            for i in range(c.num_decoder_layers)
+        ]
+        self.final_norm = (
+            nn.LayerNorm(dtype=self.dtype) if c.norm_type == "pre" else None
+        )
+
+    def _embed_scaled(self, ys):
+        return self.embed(ys) * np.float32(np.sqrt(self.cfg.d_model))
+
+    def _project(self, x):
+        # tied output projection (transformer_official.py:253-258)
+        return self.embed.attend(x.astype(self.dtype)).astype(jnp.float32)
+
+    def __call__(self, ys_in, ys_in_lengths, enc_out, enc_lengths, deterministic=True):
+        t = ys_in.shape[1]
+        x = self._embed_scaled(ys_in)
+        x = self.pe(x)
+        x = self.dropout(x, deterministic=deterministic)
+        self_bias = causal_padding_bias(ys_in_lengths, t)
+        cross_bias = padding_bias(enc_lengths, enc_out.shape[1])
+        for layer in self.layers:
+            x = layer(x, enc_out, self_bias, cross_bias, deterministic)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        return self._project(x)
+
+    # -- cached autoregressive decoding -------------------------------------
+    def init_state(self, enc_out, enc_lengths, batch: int, max_len: int):
+        """Build decode state: per-layer self k/v buffers + precomputed
+        cross k/v. ``batch`` may be B*beam (enc_out already expanded)."""
+        self_caches = [
+            l.self_attn.make_cache(batch, max_len) for l in self.layers
+        ]
+        cross_caches = [l.make_cross_cache(enc_out) for l in self.layers]
+        cross_bias = padding_bias(enc_lengths, enc_out.shape[1])
+        return {
+            "self": self_caches,
+            "cross": cross_caches,
+            "cross_bias": cross_bias,
+            "max_len": max_len,
+        }
+
+    def step(self, tokens, state, index):
+        """One decode step. tokens: (B,) int32 token at position ``index``.
+        Returns (log-probs over vocab (B, V), new state)."""
+        x = self._embed_scaled(tokens[:, None])
+        table = jnp.asarray(sinusoid_table(self.pe.max_len, self.cfg.d_model))
+        x = x + table[index][None, None].astype(x.dtype)
+        # self-attn bias over cache positions: allow j <= index
+        max_len = state["max_len"]
+        pos = jnp.arange(max_len)[None, None, None, :]
+        self_bias = jnp.where(pos <= index, 0.0, NEG_INF)
+        new_self = []
+        for layer, sc, cc in zip(self.layers, state["self"], state["cross"]):
+            x, nsc = layer.step(x, sc, cc, index, self_bias, state["cross_bias"])
+            new_self.append(nsc)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        logits = self._project(x)[:, 0]
+        new_state = dict(state, **{"self": new_self})
+        return jax.nn.log_softmax(logits, axis=-1), new_state
+
+
+def preprocess_targets(labels: jnp.ndarray, label_lengths: jnp.ndarray):
+    """labels (B, L) PAD-padded -> (ys_in (B, L+1), ys_out (B, L+1)).
+
+    Mirrors ``Decoder.preprocess`` (``transformer_official.py:260-275``):
+    ys_in = [sos, labels...], ys_out = [labels..., eos], PAD elsewhere
+    (PAD == IGNORE_ID so CE skips it)."""
+    b, l = labels.shape
+    bos = jnp.full((b, 1), BOS_ID, dtype=labels.dtype)
+    ys_in = jnp.concatenate([bos, labels], axis=1)
+    pad_col = jnp.full((b, 1), PAD_ID, dtype=labels.dtype)
+    base = jnp.concatenate([labels, pad_col], axis=1)
+    eos_onehot = (
+        jnp.arange(l + 1)[None, :] == label_lengths[:, None]
+    ).astype(labels.dtype)
+    ys_out = base + EOS_ID * eos_onehot
+    return ys_in, ys_out
+
+
+class SpeechTransformer(nn.Module):
+    """Hybrid CTC/attention Speech-Transformer (flagship model)."""
+
+    cfg: Config
+    vocab_size: int
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, self.dtype)
+        self.decoder = Decoder(self.cfg, self.vocab_size, self.dtype)
+        if self.cfg.ctc_weight > 0.0:
+            self.ctc_head = nn.Dense(self.vocab_size, dtype=self.dtype)
+
+    def __call__(self, feats, feat_lengths, labels, label_lengths, deterministic=True):
+        """Teacher-forced forward. Returns dict with ce logits + gold and
+        (if enabled) ctc logits (mirrors forward -> (pred, gold),
+        ``transformer_official.py:68-81``)."""
+        enc_out, enc_lengths = self.encoder(feats, feat_lengths, deterministic)
+        ys_in, ys_out = preprocess_targets(labels, label_lengths)
+        logits = self.decoder(
+            ys_in, label_lengths + 1, enc_out, enc_lengths, deterministic
+        )
+        out = {
+            "logits": logits,
+            "gold": ys_out,
+            "enc_out": enc_out,
+            "enc_lengths": enc_lengths,
+        }
+        if self.cfg.ctc_weight > 0.0:
+            out["ctc_logits"] = self.ctc_head(enc_out).astype(jnp.float32)
+        return out
+
+    # -- decoding entry points (see decode/) --------------------------------
+    def encode(self, feats, feat_lengths):
+        return self.encoder(feats, feat_lengths, deterministic=True)
+
+    def decode_logits(self, ys_in, ys_in_lengths, enc_out, enc_lengths):
+        """Uncached full-prefix decoder forward (used by rescoring and as a
+        correctness oracle for the cached path)."""
+        return self.decoder(ys_in, ys_in_lengths, enc_out, enc_lengths, True)
+
+    def init_decode_state(self, enc_out, enc_lengths, max_len: int):
+        return self.decoder.init_state(enc_out, enc_lengths, enc_out.shape[0], max_len)
+
+    def decode_step(self, tokens, state, index):
+        return self.decoder.step(tokens, state, index)
+
+    def ctc_log_probs(self, enc_out):
+        return jax.nn.log_softmax(self.ctc_head(enc_out).astype(jnp.float32), -1)

@@ -1,0 +1,134 @@
+"""Transformer model: shapes, target preprocessing, cached-decode parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_chinese_e2e_tpu.core.config import Config
+from asr_chinese_e2e_tpu.data.vocab import BOS_ID, EOS_ID
+from asr_chinese_e2e_tpu.models.transformer import (
+    SpeechTransformer,
+    default_config,
+    preprocess_targets,
+)
+
+VOCAB = 20
+
+
+def tiny_cfg(**kw):
+    cfg = default_config()
+    cfg.build(
+        d_model=32,
+        num_heads=2,
+        head_dim=16,
+        d_ff=64,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        input_dim=12,
+        ctc_weight=0.3,
+    )
+    cfg.build(**kw)
+    return cfg
+
+
+def make_batch(b=2, t=9, l=5, input_dim=12, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = jnp.asarray(rng.randn(b, t, input_dim).astype(np.float32))
+    feat_lens = jnp.asarray([t, t - 3][:b])
+    labels = jnp.asarray(rng.randint(4, VOCAB, size=(b, l)))
+    label_lens = jnp.asarray([l, l - 2][:b])
+    labels = labels * (jnp.arange(l)[None, :] < label_lens[:, None])
+    return feats, feat_lens, labels, label_lens
+
+
+def init_model(cfg):
+    model = SpeechTransformer(cfg, VOCAB)
+    feats, feat_lens, labels, label_lens = make_batch(input_dim=cfg.input_dim)
+    params = model.init(
+        jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens
+    )
+    return model, params
+
+
+def test_preprocess_targets():
+    labels = jnp.asarray([[5, 6, 7, 0], [8, 0, 0, 0]])
+    ys_in, ys_out = preprocess_targets(labels, jnp.asarray([3, 1]))
+    np.testing.assert_array_equal(
+        np.asarray(ys_in), [[BOS_ID, 5, 6, 7, 0], [BOS_ID, 8, 0, 0, 0]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ys_out), [[5, 6, 7, EOS_ID, 0], [8, EOS_ID, 0, 0, 0]]
+    )
+
+
+@pytest.mark.parametrize("norm_type", ["post", "pre"])
+def test_forward_shapes(norm_type):
+    cfg = tiny_cfg(norm_type=norm_type)
+    model, params = init_model(cfg)
+    feats, feat_lens, labels, label_lens = make_batch()
+    out = model.apply(params, feats, feat_lens, labels, label_lens)
+    assert out["logits"].shape == (2, 6, VOCAB)  # L+1 positions
+    assert out["gold"].shape == (2, 6)
+    assert out["ctc_logits"].shape == (2, 9, VOCAB)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_padding_invariance():
+    """Padded tail of the features must not change valid logits."""
+    cfg = tiny_cfg(dropout_rate=0.0)
+    model, params = init_model(cfg)
+    feats, feat_lens, labels, label_lens = make_batch()
+    out1 = model.apply(params, feats, feat_lens, labels, label_lens)
+    # corrupt the padded region of utt 1 (frames beyond feat_lens[1]=6)
+    feats2 = feats.at[1, 6:].set(99.0)
+    out2 = model.apply(params, feats2, feat_lens, labels, label_lens)
+    np.testing.assert_allclose(
+        np.asarray(out1["logits"]), np.asarray(out2["logits"]), atol=1e-5
+    )
+
+
+def test_conv2d_frontend():
+    cfg = tiny_cfg(frontend="conv2d", dropout_rate=0.0)
+    model, params = init_model(cfg)
+    feats, feat_lens, labels, label_lens = make_batch()
+    out = model.apply(params, feats, feat_lens, labels, label_lens)
+    assert out["enc_out"].shape[1] == 3  # ceil(9/4) subsampled frames
+    assert np.asarray(out["enc_lengths"]).tolist() == [3, 2]
+
+
+def test_cached_decode_matches_full_forward():
+    """The KV-cached step path must reproduce the uncached full-prefix
+    decoder logits (the reference re-forwards the prefix each step —
+    transformer_official.py:359-380; our cache must be exact)."""
+    cfg = tiny_cfg(dropout_rate=0.0)
+    model, params = init_model(cfg)
+    feats, feat_lens, _, _ = make_batch()
+    enc_out, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+
+    ys = jnp.asarray([[BOS_ID, 5, 6, 7], [BOS_ID, 8, 9, 10]])
+    full_logits = model.apply(
+        params, ys, jnp.asarray([4, 4]), enc_out, enc_lens, method="decode_logits"
+    )
+    want = np.asarray(jax.nn.log_softmax(full_logits, axis=-1))
+
+    state = model.apply(params, enc_out, enc_lens, 8, method="init_decode_state")
+    for i in range(4):
+        logp, state = model.apply(
+            params, ys[:, i], state, jnp.asarray(i), method="decode_step"
+        )
+        np.testing.assert_allclose(
+            np.asarray(logp), want[:, i], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_bfloat16_compute():
+    cfg = tiny_cfg(dtype="bfloat16")
+    model, params = init_model(cfg)
+    feats, feat_lens, labels, label_lens = make_batch()
+    out = model.apply(params, feats, feat_lens, labels, label_lens)
+    # logits are float32 for the loss; params stay float32
+    assert out["logits"].dtype == jnp.float32
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["logits"])).all()

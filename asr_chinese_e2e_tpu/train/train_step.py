@@ -1,0 +1,145 @@
+"""The jitted train/eval steps — the framework's hot loop.
+
+Replaces ``model.iterate`` (``transformer_official.py:96-104``) and the
+per-batch device traffic of the reference hot loop (SURVEY §3.2) with a
+TPU-first design:
+
+- ONE jitted function per bucket shape does fbank → model → loss → grads →
+  clip → Adam/Noam update; XLA fuses the whole thing and inserts the DP
+  gradient reduction (batch sharded over mesh axis ``data``, params
+  replicated);
+- feature extraction (fbank/CMVN/LFR/SpecAugment) runs INSIDE the step on
+  device — the host ships raw waveforms only;
+- metrics come back as a handful of scalars; CER is computed on host only
+  at eval cadence (the reference's per-step CER sync,
+  ``transformer_official.py:87-91``, is a throughput bug SURVEY §3.2 flags
+  — deliberately not replicated);
+- nan-loss guard mirrors ``example_model.py:34-35`` but device-side: the
+  trainer checks the returned loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import Config
+from ..data.features import FeatureConfig, parse_batch
+from ..data.vocab import IGNORE_ID
+from ..losses import smoothed_cross_entropy
+from ..ops.ctc import ctc_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def model_loss(out: dict, labels, label_lengths, ctc_weight: float, smoothing: float):
+    """Hybrid λ·CTC + (1−λ)·CE over whatever branches the model provides."""
+    metrics = {}
+    loss = 0.0
+    has_ce = "logits" in out and ctc_weight < 1.0
+    has_ctc = "ctc_logits" in out and ctc_weight > 0.0
+    if has_ce:
+        ce, n_correct = smoothed_cross_entropy(out["logits"], out["gold"], smoothing)
+        n_word = jnp.sum((out["gold"] != IGNORE_ID).astype(jnp.float32))
+        metrics.update(ce_loss=ce, n_correct=n_correct, n_word=n_word)
+        loss = loss + (1.0 - ctc_weight) * ce if has_ctc else ce
+    if has_ctc:
+        per_utt = ctc_loss(
+            out["ctc_logits"], out["enc_lengths"], labels, label_lengths
+        )
+        ctc = jnp.mean(per_utt)
+        metrics["ctc_loss"] = ctc
+        loss = loss + ctc_weight * ctc if has_ce else ctc
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_step_fns(
+    model,
+    tx: optax.GradientTransformation,
+    feat_cfg: FeatureConfig,
+    cfg: Config,
+    raw_features: bool = False,
+):
+    """Build (init_fn, train_step, eval_step).
+
+    ``raw_features=True`` feeds precomputed features instead of waveforms
+    (used by tests and feature-cached pipelines)."""
+
+    ctc_weight = float(cfg.get("ctc_weight", 0.0))
+    smoothing = float(cfg.get("label_smoothing", 0.0))
+    use_specaug = bool(cfg.get("spec_augment", False))
+
+    def featurize(wave, wave_lengths, rng, augment):
+        if raw_features:
+            return wave, wave_lengths
+        return parse_batch(
+            wave, wave_lengths, feat_cfg, augment=augment, rng=rng
+        )
+
+    def init_fn(rng, batch) -> TrainState:
+        feats, feat_lens = featurize(
+            jnp.asarray(batch["wave"]), jnp.asarray(batch["wave_lengths"]), None, False
+        )
+        params = model.init(
+            rng, feats, feat_lens, jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["label_lengths"]),
+        )
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, wave, wave_lengths, labels, label_lengths, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(rng)
+        feats, feat_lens = featurize(wave, wave_lengths, aug_rng, use_specaug)
+
+        def loss_fn(params):
+            out = model.apply(
+                params,
+                feats,
+                feat_lens,
+                labels,
+                label_lengths,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return model_loss(out, labels, label_lengths, ctc_weight, smoothing)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(params, wave, wave_lengths, labels, label_lengths):
+        feats, feat_lens = featurize(wave, wave_lengths, None, False)
+        out = model.apply(params, feats, feat_lens, labels, label_lengths)
+        _, metrics = model_loss(out, labels, label_lengths, ctc_weight, smoothing)
+        if "logits" in out:
+            # teacher-forced argmax ids for host-side CER at eval cadence
+            # (metric parity: transformer_official.py:87-94)
+            metrics["pred_ids"] = jnp.argmax(out["logits"], axis=-1)
+            metrics["gold_ids"] = out["gold"]
+        return metrics
+
+    return init_fn, train_step, eval_step

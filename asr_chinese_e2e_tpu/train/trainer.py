@@ -1,0 +1,203 @@
+"""Epoch-based trainer with the reference's cadence knobs.
+
+Parity with ``Trainer/trainer11.py:13-133`` (the used trainer):
+- epoch loop over ``num_epoch`` (``trainer11.py:47-49``);
+- per-iter: train step → every ``log_every_iter`` summarize train metrics +
+  lr → every ``eval_every_iter`` dev eval → every ``save_every_iter``
+  checkpoint (``trainer11.py:56-69``);
+- end of epoch: checkpoint + TEST-set eval (``trainer11.py:79-80``);
+- best-checkpoint by ``reference='-loss'`` (``trainer11.py:26,43`` — the
+  reference left this commented out, ``trainer11.py:100-106``; finished
+  here);
+- resume restores model, optimizer (incl. Noam step) and counters
+  (``trainer11.py:82-91``), now wired through the config
+  (``main.py:28`` left it TODO);
+- nan-loss guard (``example_model.py:34-35``).
+
+Deliberate non-parity: per-step CER (a device→host sync every iteration,
+``transformer_official.py:87-91``) runs at eval/log cadence only; the
+destructive ``drop_exp`` rm -rf default (``trainer11.py:34-37``) is opt-in.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.config import Config
+from ..data.batching import Batch, BucketedLoader
+from ..data.features import FeatureConfig
+from ..decode.cer import batch_cer_from_ids
+from ..parallel.sharding import batch_sharding, replicated
+from .checkpoint import CheckpointManager
+from .metrics import MetricsAccumulator, ScalarWriter, ThroughputMeter
+from .optimizer import current_lr
+from .train_step import make_step_fns
+
+
+def default_exp_name() -> str:
+    # timestamp default like get_time (trainer11.py:131-132), ISO format
+    return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        tx,
+        cfg: Config,
+        feat_cfg: FeatureConfig,
+        vocab,
+        train_loader: BucketedLoader,
+        dev_loader: Optional[BucketedLoader] = None,
+        test_loader: Optional[BucketedLoader] = None,
+        mesh=None,
+        raw_features: bool = False,
+    ) -> None:
+        self.model, self.tx, self.cfg = model, tx, cfg
+        self.feat_cfg, self.vocab = feat_cfg, vocab
+        self.train_loader = train_loader
+        self.dev_loader, self.test_loader = dev_loader, test_loader
+        self.mesh = mesh
+        exp_name = cfg.get("exp_name") or default_exp_name()
+        self.exp_dir = os.path.join(cfg.get("exp_root", "ckpt"), exp_name)
+        os.makedirs(self.exp_dir, exist_ok=True)
+        cfg.save(os.path.join(self.exp_dir, "config.json"))
+        self.writer = ScalarWriter(self.exp_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "checkpoints"),
+            reference=cfg.get("reference", "-loss"),
+        )
+        self.init_fn, self.train_step, self.eval_step = make_step_fns(
+            model, tx, feat_cfg, cfg, raw_features=raw_features
+        )
+        self.rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.state = None
+        self.epoch = 0
+        self._d_model = cfg.get("d_model", cfg.get("hidden_size", 512))
+        n_chips = 1 if mesh is None else mesh.devices.size
+        self.throughput = ThroughputMeter(n_chips)
+
+    # -- device placement ---------------------------------------------------
+    def _put_batch(self, batch: Batch) -> dict:
+        arrays = {
+            "wave": batch.wave,
+            "wave_lengths": batch.wave_lengths,
+            "labels": batch.labels,
+            "label_lengths": batch.label_lengths,
+        }
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def _init_state(self) -> None:
+        first = next(iter(self.train_loader.epoch(0)))
+        batch = self._put_batch(first)
+        init_rng, self.rng = jax.random.split(self.rng)
+        self.state = self.init_fn(init_rng, batch)
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+
+    # -- public API ---------------------------------------------------------
+    def train(self, from_ckpt: Optional[str] = None) -> None:
+        """Full training run; ``from_ckpt`` in {'latest','best','e{E}_s{S}'}
+        resumes (finishing main.py:28's TODO)."""
+        self._init_state()
+        if from_ckpt is not None:
+            self.state, meta = self.ckpt.restore(from_ckpt, template=self.state)
+            if self.mesh is not None:
+                self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.epoch = int(meta["epoch"])
+        for epoch in range(self.epoch, self.cfg.num_epoch):
+            self.epoch = epoch
+            self.train_epoch(epoch)
+            metric = None
+            if self.test_loader is not None:  # test eval at epoch end
+                metric = self.evaluate(self.test_loader, "test/")
+            # end-of-epoch checkpoints resume at the NEXT epoch; mid-epoch
+            # cadence saves (in train_epoch) restart the current one
+            self.save(metric, resume_epoch=epoch + 1)
+
+    def train_epoch(self, epoch: int) -> None:
+        cfg = self.cfg
+        acc = MetricsAccumulator()
+        self.throughput.reset()
+        sr = self.feat_cfg.sample_rate
+        for batch in self.train_loader.epoch(epoch):
+            arrays = self._put_batch(batch)
+            self.state, metrics = self.train_step(
+                self.state,
+                arrays["wave"],
+                arrays["wave_lengths"],
+                arrays["labels"],
+                arrays["label_lengths"],
+                self.rng,
+            )
+            step = int(self.state.step)
+            self.throughput.step(float(np.sum(batch.wave_lengths)) / sr)
+            acc.update(
+                {k: v for k, v in metrics.items()}, num_samples=len(batch.texts)
+            )
+            if step % cfg.log_every_iter == 0:
+                means = acc.means()
+                loss = means.get("loss", 0.0)
+                if not math.isfinite(loss):
+                    raise ValueError("nan loss encountered")  # example_model.py:34-35
+                scalars = {f"train/{k}": v for k, v in means.items()}
+                scalars["lr"] = current_lr(cfg, self._d_model, step)
+                scalars["train/audio_s_per_s_per_chip"] = (
+                    self.throughput.audio_seconds_per_sec_per_chip
+                )
+                scalars["train/steps_per_s"] = self.throughput.steps_per_sec
+                self.writer.write(step, scalars)
+                acc.reset()
+            if self.dev_loader is not None and step % cfg.eval_every_iter == 0:
+                self.evaluate(self.dev_loader, "dev/")
+            if step % cfg.save_every_iter == 0:
+                self.save()
+
+    def evaluate(self, loader: BucketedLoader, prefix: str = "dev/") -> float:
+        """Weighted-mean metrics + teacher-forced CER over a loader
+        (``trainer11.py:114-129``). Returns the reference metric value."""
+        acc = MetricsAccumulator()
+        for batch in loader.epoch(0):
+            arrays = self._put_batch(batch)
+            metrics = self.eval_step(
+                self.state.params,
+                arrays["wave"],
+                arrays["wave_lengths"],
+                arrays["labels"],
+                arrays["label_lengths"],
+            )
+            n = len(batch.texts)
+            host = {
+                k: v for k, v in metrics.items() if k not in ("pred_ids", "gold_ids")
+            }
+            if "pred_ids" in metrics:
+                host["cer"] = batch_cer_from_ids(
+                    np.asarray(metrics["pred_ids"]),
+                    np.asarray(metrics["gold_ids"]),
+                    self.vocab,
+                )
+            acc.update(host, num_samples=n)
+        means = acc.means()
+        step = int(self.state.step) if self.state is not None else 0
+        self.writer.write(step, {prefix + k: v for k, v in means.items()})
+        key = self.cfg.get("reference", "-loss").lstrip("+-")
+        return means.get(key, means.get("loss", 0.0))
+
+    def save(self, metric: Optional[float] = None, resume_epoch: Optional[int] = None) -> str:
+        return self.ckpt.save(
+            self.state,
+            self.epoch if resume_epoch is None else resume_epoch,
+            config=self.cfg,
+            vocab_fingerprint=self.vocab.fingerprint() if self.vocab else None,
+            metric=metric,
+        )

@@ -1,0 +1,103 @@
+"""Minimum end-to-end slice (north-star config #1): tiny BiLSTM+CTC train
+on a synthetic manifest, CPU-runnable — exercises manifest → bucketed
+loader → on-device fbank/CMVN/LFR → model → CTC loss → Noam/Adam →
+checkpoint → eval → resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from asr_chinese_e2e_tpu.data.batching import BucketedLoader
+from asr_chinese_e2e_tpu.data.features import FeatureConfig
+from asr_chinese_e2e_tpu.data.manifest import write_manifest
+from asr_chinese_e2e_tpu.data.vocab import Vocab
+from asr_chinese_e2e_tpu.models.rnn import BiLSTMCTC, default_ctc_config
+from asr_chinese_e2e_tpu.train.optimizer import default_train_config, make_optimizer
+from asr_chinese_e2e_tpu.train.trainer import Trainer
+
+from tests.test_manifest import write_wav
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("corpus")
+    texts = ["你好", "世界", "你好世界", "好你"]
+    records = []
+    rng = np.random.RandomState(0)
+    for i in range(24):
+        p = str(tmp_path / f"u{i}.wav")
+        n = SR // 2  # 0.5 s
+        write_wav(p, n_samples=n)
+        records.append({"wave": p, "tgt": texts[i % len(texts)], "frames": n})
+    mpath = str(tmp_path / "train.jsonl")
+    write_manifest(mpath, records)
+    v = Vocab()
+    v.consume_sentence_list(texts)
+    v.build()
+    return mpath, v, str(tmp_path)
+
+
+def make_trainer(corpus, exp_root, num_epoch=2):
+    mpath, vocab, _ = corpus
+    feat_cfg = FeatureConfig(n_mels=20)
+    mcfg = default_ctc_config().build(
+        hidden_size=16,
+        num_encoder_layers=1,
+        input_dim=feat_cfg.feature_dim,
+        dropout_rate=0.0,
+    )
+    tcfg = default_train_config().combine(mcfg)
+    tcfg.build(
+        batch_size=4,
+        num_epoch=num_epoch,
+        log_every_iter=2,
+        eval_every_iter=4,
+        save_every_iter=1000,
+        lr_schedule="constant",
+        lr=5e-3,
+        exp_root=exp_root,
+        exp_name="e2e",
+    )
+    loader = BucketedLoader(mpath, vocab, batch_size=4, max_target_len=8, seed=0)
+    model = BiLSTMCTC(mcfg, vocab.vocab_size)
+    tx = make_optimizer(tcfg, mcfg.hidden_size)
+    return Trainer(
+        model, tx, tcfg, feat_cfg, vocab,
+        train_loader=loader, dev_loader=loader, test_loader=loader,
+    ), tcfg
+
+
+def test_e2e_train_eval_checkpoint(corpus, tmp_path):
+    trainer, tcfg = make_trainer(corpus, str(tmp_path / "exp"))
+    trainer.train()
+    # scalars logged
+    scalars_path = os.path.join(trainer.exp_dir, "scalars.jsonl")
+    assert os.path.exists(scalars_path)
+    rows = [json.loads(l) for l in open(scalars_path)]
+    train_losses = [r["train/loss"] for r in rows if "train/loss" in r]
+    assert len(train_losses) >= 4
+    assert train_losses[-1] < train_losses[0]  # loss decreases
+    # dev and test evals ran
+    assert any("dev/loss" in r for r in rows)
+    assert any("test/loss" in r for r in rows)
+    # throughput metric present
+    assert any("train/audio_s_per_s_per_chip" in r for r in rows)
+    # checkpoints written with reference naming + config json saved
+    assert trainer.ckpt.latest_name is not None
+    assert os.path.exists(os.path.join(trainer.exp_dir, "config.json"))
+    # 12 steps per epoch? 24 utts / bs 4 = 6 batches, 2 epochs = 12 steps
+    assert int(trainer.state.step) == 12
+
+
+def test_e2e_resume(corpus, tmp_path):
+    trainer, _ = make_trainer(corpus, str(tmp_path / "exp1"), num_epoch=1)
+    trainer.train()
+    step_before = int(trainer.state.step)
+
+    trainer2, _ = make_trainer(corpus, str(tmp_path / "exp1"), num_epoch=2)
+    trainer2.train(from_ckpt="latest")  # resumes at epoch 1, runs epoch 2
+    assert int(trainer2.state.step) == step_before + 6

@@ -1,0 +1,154 @@
+"""Fixed-shape batched beam search with KV cache — all state on device.
+
+Replaces the reference's per-utterance Python-object beam
+(``transformer_official.py:331-434``; duplicated ``decoder.py:126-229``)
+which re-forwards the full decoder prefix for every hypothesis at every
+step with no KV cache (SURVEY §3.4 — O(L²) re-compute). TPU-native design
+(SURVEY §7 risk register "beam search as device code"):
+
+- beam state is dense device arrays: tokens (B, K, L+1) int32, scores
+  (B, K) f32, finished (B, K) bool;
+- one cached ``decode_step`` per step over the flattened (B*K) batch;
+- candidate expansion + pruning via ``jax.lax.top_k`` over (B, K*V);
+- ended-hypothesis harvesting (``transformer_official.py:409-423``)
+  becomes a finished mask + forced-EOS row (a finished hyp emits EOS with
+  log-prob 0, so its score rides along unchanged);
+- per-hypothesis cache reordering is a batched gather applied to every
+  state leaf with a (B*K) leading dim — works unchanged for the
+  Transformer KV cache and the LAS recurrent state;
+- ``lax.while_loop`` with an all-finished early exit; maxlen force-EOS
+  (``transformer_official.py:404-407``) falls out of the fixed loop bound.
+
+n-best extraction and (optional) length-normalised sorting mirror
+``transformer_official.py:429-434``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import BOS_ID, EOS_ID
+from ..ops.masks import NEG_INF
+
+
+@dataclasses.dataclass
+class BeamResult:
+    """n-best per utterance: tokens (B, K, L) (BOS stripped), scores (B, K),
+    finished (B, K) — True if the hyp emitted EOS before max_len; sorted
+    best-first."""
+
+    tokens: np.ndarray
+    scores: np.ndarray
+    finished: np.ndarray
+
+    def nbest_ids(self, nbest: int = 1) -> List[List[List[int]]]:
+        out = []
+        for b in range(self.tokens.shape[0]):
+            hyps = []
+            for k in range(min(nbest, self.tokens.shape[1])):
+                ids = []
+                for t in self.tokens[b, k]:
+                    if t == EOS_ID:
+                        break
+                    ids.append(int(t))
+                hyps.append(ids)
+            out.append(hyps)
+        return out
+
+
+def _expand_for_beams(x: jnp.ndarray, beam: int) -> jnp.ndarray:
+    """(B, ...) -> (B*K, ...) by repeating each row K times."""
+    return jnp.repeat(x, beam, axis=0)
+
+
+def beam_search(
+    model,
+    params,
+    enc_out: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    beam_size: int,
+    max_len: int,
+    length_penalty: float = 0.0,
+) -> BeamResult:
+    """Batched attention beam search.
+
+    ``length_penalty`` > 0 applies GNMT-style normalisation at the final
+    sort (the reference sorts by raw score, ``transformer_official.py:429``;
+    0.0 reproduces that)."""
+    bsz, k = enc_out.shape[0], beam_size
+    vocab = None  # discovered from the first step
+
+    enc_out_x = _expand_for_beams(enc_out, k)
+    enc_len_x = _expand_for_beams(enc_lengths, k)
+    state = model.apply(
+        params, enc_out_x, enc_len_x, max_len + 1, method="init_decode_state"
+    )
+
+    tokens0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32).at[:, :, 0].set(BOS_ID)
+    # only beam slot 0 is live initially (all slots hold identical BOS)
+    scores0 = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32)[None], (bsz, 1)
+    )
+    finished0 = jnp.zeros((bsz, k), bool)
+    lengths0 = jnp.zeros((bsz, k), jnp.int32)
+
+    def gather_state(state, flat_parent):
+        def g(x):
+            if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
+                return x[flat_parent]
+            return x
+
+        return jax.tree_util.tree_map(g, state)
+
+    def cond(carry):
+        i, _, _, finished, _, _ = carry
+        return (i < max_len) & ~jnp.all(finished)
+
+    def body(carry):
+        i, tokens, scores, finished, lengths, state = carry
+        last = tokens[:, :, i].reshape(bsz * k)
+        logp, state = model.apply(params, last, state, i, method="decode_step")
+        v = logp.shape[-1]
+        logp = logp.reshape(bsz, k, v)
+        # finished hyps: only EOS allowed, at zero cost (score frozen)
+        eos_row = jnp.full((v,), NEG_INF, jnp.float32).at[EOS_ID].set(0.0)
+        logp = jnp.where(finished[:, :, None], eos_row[None, None, :], logp)
+
+        cand = scores[:, :, None] + logp  # (B, K, V)
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(bsz, k * v), k)
+        parent = top_idx // v  # (B, K)
+        token = (top_idx % v).astype(jnp.int32)
+
+        flat_parent = (
+            jnp.arange(bsz)[:, None] * k + parent
+        ).reshape(bsz * k)
+        state = gather_state(state, flat_parent)
+        tokens = jnp.take_along_axis(
+            tokens, parent[:, :, None], axis=1
+        ).at[:, :, i + 1].set(token)
+        was_finished = jnp.take_along_axis(finished, parent, axis=1)
+        lengths = jnp.take_along_axis(lengths, parent, axis=1)
+        lengths = jnp.where(was_finished, lengths, lengths + 1)
+        finished = was_finished | (token == EOS_ID)
+        return (i + 1, tokens, top_scores, finished, lengths, state)
+
+    carry = (jnp.asarray(0), tokens0, scores0, finished0, lengths0, state)
+    _, tokens, scores, finished, lengths, _ = jax.lax.while_loop(cond, body, carry)
+
+    # force-EOS semantics at maxlen: unfinished hyps are truncated (their
+    # raw scores already reflect max_len tokens)
+    if length_penalty > 0.0:
+        norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+        sort_scores = scores / norm
+    else:
+        sort_scores = scores
+    order = jnp.argsort(-sort_scores, axis=1)
+    scores = jnp.take_along_axis(sort_scores, order, axis=1)
+    tokens = jnp.take_along_axis(tokens[:, :, 1:], order[:, :, None], axis=1)
+    finished = jnp.take_along_axis(finished, order, axis=1)
+    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))

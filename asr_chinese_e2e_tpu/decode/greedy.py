@@ -1,0 +1,87 @@
+"""Greedy decoding: CTC best-path and autoregressive attention decode.
+
+The reference's only non-teacher-forced decoding is an unwired
+per-utterance Python beam (``transformer_official.py:331-434``); its greedy
+path is teacher-forced argmax for metrics only (``:87-91``). Here:
+
+- ``ctc_greedy_decode``: argmax over frames → collapse repeats → strip
+  blanks, fully vectorised (host-side finalisation returns ragged id
+  lists);
+- ``attention_greedy_decode``: true autoregressive argmax with the KV-cached
+  ``decode_step`` under ``lax.scan`` — fixed shapes, one compile.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import BLANK_ID, BOS_ID, EOS_ID
+
+
+def ctc_greedy_decode(
+    log_probs: jnp.ndarray, logit_lengths: jnp.ndarray
+) -> List[List[int]]:
+    """(B, T, C) log-probs -> per-utterance collapsed id sequences."""
+    ids = np.asarray(jnp.argmax(log_probs, axis=-1))  # (B, T)
+    lengths = np.asarray(logit_lengths)
+    out: List[List[int]] = []
+    for row, n in zip(ids, lengths):
+        row = row[:n]
+        keep = np.concatenate([[True], row[1:] != row[:-1]])  # collapse repeats
+        collapsed = row[keep]
+        out.append(collapsed[collapsed != BLANK_ID].tolist())
+    return out
+
+
+def attention_greedy_decode(model, params, enc_out, enc_lengths, max_len: int):
+    """Autoregressive argmax decode with the cached step path.
+
+    Returns (tokens (B, max_len) int32 — EOS-terminated, PAD after; and
+    scores (B,) summed log-probs)."""
+    bsz = enc_out.shape[0]
+    state = model.apply(
+        params, enc_out, enc_lengths, max_len + 1, method="init_decode_state"
+    )
+
+    def body(carry, i):
+        tokens, state, score, finished = carry
+        logp, state = model.apply(
+            params, tokens[:, i], state, i, method="decode_step"
+        )
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(finished, EOS_ID, nxt)
+        score = score + jnp.where(finished, 0.0, step_lp)
+        tokens = tokens.at[:, i + 1].set(nxt)
+        finished = finished | (nxt == EOS_ID)
+        return (tokens, state, score, finished), None
+
+    tokens0 = jnp.zeros((bsz, max_len + 1), jnp.int32).at[:, 0].set(BOS_ID)
+    carry = (
+        tokens0,
+        state,
+        jnp.zeros((bsz,), jnp.float32),
+        jnp.zeros((bsz,), bool),
+    )
+    (tokens, _, scores, _), _ = jax.lax.scan(
+        body, carry, jnp.arange(max_len)
+    )
+    return tokens[:, 1:], scores
+
+
+def tokens_to_ids(tokens: np.ndarray) -> List[List[int]]:
+    """Truncate fixed-shape decode output at the first EOS (rows exclude
+    the initial BOS position already)."""
+    out = []
+    for row in np.asarray(tokens):
+        ids = []
+        for t in row:
+            if t == EOS_ID:
+                break
+            ids.append(int(t))
+        out.append(ids)
+    return out

@@ -210,7 +210,6 @@ class Decoder(nn.Module):
             "self": self_caches,
             "cross": cross_caches,
             "cross_bias": cross_bias,
-            "max_len": max_len,
         }
 
     def step(self, tokens, state, index):
@@ -220,7 +219,7 @@ class Decoder(nn.Module):
         table = jnp.asarray(sinusoid_table(self.pe.max_len, self.cfg.d_model))
         x = x + table[index][None, None].astype(x.dtype)
         # self-attn bias over cache positions: allow j <= index
-        max_len = state["max_len"]
+        max_len = state["self"][0]["k"].shape[1]  # static cache length
         pos = jnp.arange(max_len)[None, None, None, :]
         self_bias = jnp.where(pos <= index, 0.0, NEG_INF)
         new_self = []

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship model.
+
+Measures audio-seconds/s/chip (the BASELINE.json north-star metric) for the
+full jitted training step — on-device fbank/CMVN/LFR + SpeechTransformer
+(reference hyperparams 512d/8h/6+6L, ``transformer_official.py:112-124``)
++ hybrid CTC/CE loss + Noam/Adam — on synthetic 8-second utterances at the
+reference batch size 64 (``main.py:103``).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` is null: the reference publishes no benchmark numbers
+(README "Under progress"; BASELINE.md — "published": {}).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from asr_chinese_e2e_tpu.data.features import FeatureConfig
+    from asr_chinese_e2e_tpu.models.transformer import (
+        SpeechTransformer,
+        default_config,
+    )
+    from asr_chinese_e2e_tpu.train.optimizer import (
+        default_train_config,
+        make_optimizer,
+    )
+    from asr_chinese_e2e_tpu.train.train_step import make_step_fns
+
+    n_chips = len(jax.devices())
+    log(f"devices: {jax.devices()}")
+
+    seconds = 8.0
+    batch = 64
+    vocab_size = 4233  # AISHELL-1 char vocab scale
+    label_len = 20
+
+    feat_cfg = FeatureConfig()
+    cfg = default_config().build(
+        ctc_weight=0.3, dtype="bfloat16", input_dim=feat_cfg.feature_dim
+    )
+    tcfg = default_train_config().combine(cfg).build(spec_augment=True)
+    model = SpeechTransformer(cfg, vocab_size)
+    tx = make_optimizer(tcfg, cfg.d_model)
+    init_fn, train_step, _ = make_step_fns(model, tx, feat_cfg, tcfg)
+
+    rng = np.random.RandomState(0)
+    samples = int(seconds * feat_cfg.sample_rate)
+    host_batch = {
+        "wave": np.asarray(rng.randn(batch, samples) * 0.1, np.float32),
+        "wave_lengths": np.full((batch,), samples, np.int32),
+        "labels": rng.randint(4, vocab_size, size=(batch, label_len)).astype(
+            np.int32
+        ),
+        "label_lengths": np.full((batch,), label_len, np.int32),
+    }
+
+    mesh = None
+    if n_chips > 1:
+        from asr_chinese_e2e_tpu.parallel.sharding import (
+            batch_sharding,
+            make_mesh,
+            replicated,
+        )
+
+        mesh = make_mesh(data=n_chips)
+
+    t0 = time.perf_counter()
+    state = init_fn(jax.random.PRNGKey(0), host_batch)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        sh = batch_sharding(mesh)
+        args = [
+            jax.device_put(host_batch[k], sh)
+            for k in ("wave", "wave_lengths", "labels", "label_lengths")
+        ]
+    else:
+        args = [
+            jax.device_put(host_batch[k])
+            for k in ("wave", "wave_lengths", "labels", "label_lengths")
+        ]
+    step_rng = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, *args, step_rng)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"loss={float(metrics['loss']):.3f}")
+
+    # warmup
+    for _ in range(2):
+        state, metrics = train_step(state, *args, step_rng)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, *args, step_rng)
+    jax.block_until_ready(metrics["loss"])
+    wall = time.perf_counter() - t0
+
+    steps_per_s = n_steps / wall
+    audio_s_per_s_per_chip = steps_per_s * batch * seconds / n_chips
+    log(
+        f"{n_steps} steps in {wall:.2f}s -> {steps_per_s:.2f} steps/s, "
+        f"{audio_s_per_s_per_chip:.1f} audio-s/s/chip "
+        f"(loss={float(metrics['loss']):.3f})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_audio_seconds_per_sec_per_chip",
+                "value": round(audio_s_per_s_per_chip, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

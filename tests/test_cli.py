@@ -1,0 +1,102 @@
+"""CLI surface: kwargs parser, preprocess build, train entry, recognize."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import main as train_cli
+import recognize as rec_cli
+from asr_chinese_e2e_tpu.utils.cli import coerce, parse_kwargs
+
+from tests.test_manifest import make_tree
+
+
+def test_parse_kwargs_styles():
+    pos, kw = parse_kwargs(
+        ["build", "--lr", "3e-4", "--batch_size=64", "--flag",
+         "--name", "TransformerOffical", "--ids", "[1,2]"]
+    )
+    assert pos == ["build"]
+    assert kw == {
+        "lr": 3e-4,
+        "batch_size": 64,
+        "flag": True,
+        "name": "TransformerOffical",
+        "ids": [1, 2],
+    }
+
+
+def test_coerce():
+    assert coerce("true") is True and coerce("None") is None
+    assert coerce("5") == 5 and isinstance(coerce("5"), int)
+    assert coerce("5.5") == 5.5
+    assert coerce("abc") == "abc"
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    """preprocess build + a tiny trained experiment via the train CLI fn."""
+    tmp = tmp_path_factory.mktemp("cli")
+    root = str(tmp / "data_aishell")
+    make_tree(root)
+    import preprocess
+
+    out = str(tmp / "data")
+    preprocess.build(root, out)
+    assert os.path.exists(os.path.join(out, "vocab.json"))
+    assert os.path.exists(os.path.join(out, "train.jsonl"))
+
+    exp_root = str(tmp / "ckpt")
+    train_cli.train(
+        model_name="BiLSTMCTC",
+        vocab_path=os.path.join(out, "vocab.json"),
+        train_manifest=os.path.join(out, "train.jsonl"),
+        dev_manifest=os.path.join(out, "dev.jsonl"),
+        test_manifest=os.path.join(out, "test.jsonl"),
+        n_mels=20,
+        hidden_size=16,
+        num_encoder_layers=1,
+        batch_size=2,
+        num_epoch=1,
+        log_every_iter=1,
+        eval_every_iter=1000,
+        save_every_iter=1000,
+        lr_schedule="constant",
+        lr=1e-3,
+        exp_root=exp_root,
+        exp_name="cli_exp",
+        max_target_len=8,
+        mesh_model=1,
+    )
+    exp_dir = os.path.join(exp_root, "cli_exp")
+    return tmp, out, exp_dir
+
+
+def test_train_cli_artifacts(prepared):
+    _, out, exp_dir = prepared
+    assert os.path.exists(os.path.join(exp_dir, "config.json"))
+    assert os.path.exists(os.path.join(exp_dir, "scalars.jsonl"))
+    cfg = json.load(open(os.path.join(exp_dir, "config.json")))
+    assert cfg["model_name"] == "BiLSTMCTC"
+    assert cfg["input_dim"] == 80  # n_mels 20 * lfr_m 4 auto-derived
+
+
+def test_recognize_cli_ctc_greedy(prepared):
+    tmp, out, exp_dir = prepared
+    res_path = str(tmp / "results.json")
+    results = rec_cli.recognize(
+        exp=exp_dir,
+        vocab=os.path.join(out, "vocab.json"),
+        manifest=os.path.join(out, "test.jsonl"),
+        mode="ctc_greedy",
+        which="latest",
+        out=res_path,
+    )
+    assert os.path.exists(res_path)
+    assert len(results["utts"]) == 1
+    (utt,) = results["utts"].values()
+    entry = utt["output"][0]
+    assert set(entry) >= {"rec_text", "rec_token", "score", "text"}
+    assert "cer" in results  # references present -> CER computed

@@ -54,10 +54,15 @@ class FeatureConfig:
     time_mask_param: int = 40
     num_freq_masks: int = 1
     num_time_masks: int = 1
+    # AudioParser2-style options (processor.py:106-152)
+    cmvn_mode: str = "global"  # "global" (AudioParser) | "per_dim" (AudioParser2)
+    use_delta: bool = False  # append Δ features
+    use_delta_delta: bool = False  # append ΔΔ features
 
     @property
     def feature_dim(self) -> int:
-        return self.n_mels * self.lfr_m
+        mult = 1 + int(self.use_delta) + int(self.use_delta_delta)
+        return self.n_mels * mult * self.lfr_m
 
     def num_frames(self, num_samples) -> "int | jnp.ndarray":
         """STFT frame count for a waveform of ``num_samples`` samples."""
@@ -170,6 +175,36 @@ def cmvn(
     return out * mask
 
 
+def cmvn_per_dim(
+    feats: jnp.ndarray, feat_lengths: jnp.ndarray, eps: float = 1e-16
+) -> jnp.ndarray:
+    """Per-feature-dim CMVN over time (AudioParser2, ``processor.py:142``:
+    ``(feat - mean(axis=time)) / (std(axis=time) + 1e-16)``, population
+    std), masked to valid frames."""
+    mask = (jnp.arange(feats.shape[1])[None, :] < feat_lengths[:, None]).astype(
+        feats.dtype
+    )[..., None]
+    n = jnp.maximum(feat_lengths.astype(feats.dtype), 1.0)[:, None, None]
+    mean = jnp.sum(feats * mask, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(feats - mean) * mask, axis=1, keepdims=True) / n
+    out = (feats - mean) / (jnp.sqrt(var) + eps)
+    return out * mask
+
+
+def delta_features(feats: jnp.ndarray, order_n: int = 2) -> jnp.ndarray:
+    """HTK/Kaldi-style delta: d_t = Σ_n n·(x[t+n]-x[t-n]) / (2·Σ n²),
+    edge-replicated (the AudioParser2 Δ/ΔΔ option, ``processor.py:135-139``)."""
+    denom = 2.0 * sum(n * n for n in range(1, order_n + 1))
+    t = feats.shape[1]
+    out = jnp.zeros_like(feats)
+    for n in range(1, order_n + 1):
+        idx = jnp.arange(t)
+        fwd = feats[:, jnp.minimum(idx + n, t - 1)]
+        bwd = feats[:, jnp.maximum(idx - n, 0)]
+        out = out + n * (fwd - bwd)
+    return out / denom
+
+
 def spec_augment(
     feats: jnp.ndarray,
     feat_lengths: jnp.ndarray,
@@ -245,11 +280,23 @@ def parse_batch(
     augment: bool = False,
     rng: jax.Array | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, S) waveforms + sample lengths -> (B, T_lfr, n_mels*m) features +
-    frame lengths. Pipeline: fbank → log → CMVN → [SpecAugment] → LFR."""
+    """(B, S) waveforms + sample lengths -> (B, T_lfr, feature_dim) features
+    + frame lengths. Pipeline: fbank → log → [Δ/ΔΔ] → CMVN → [SpecAugment]
+    → LFR."""
     feats = log_mel_spectrogram(wave, cfg)  # (B, T, n_mels)
     feat_lengths = cfg.num_frames(wave_lengths)
-    feats = cmvn(feats, feat_lengths)
+    if cfg.use_delta or cfg.use_delta_delta:
+        parts = [feats]
+        d1 = delta_features(feats)
+        if cfg.use_delta:
+            parts.append(d1)
+        if cfg.use_delta_delta:
+            parts.append(delta_features(d1))
+        feats = jnp.concatenate(parts, axis=-1)
+    if cfg.cmvn_mode == "per_dim":
+        feats = cmvn_per_dim(feats, feat_lengths)
+    else:
+        feats = cmvn(feats, feat_lengths)
     if augment:
         if rng is None:
             raise ValueError("augment=True requires rng")

@@ -57,6 +57,8 @@ def default_config() -> Config:
         norm_type="post",  # reference placement; "pre" available
         input_dim=320,  # n_mels * lfr_m (transformer_official.py:42)
         frontend="linear",  # or "conv2d" subsampling
+        attention_band=0,  # >0: banded encoder self-attn ±band frames
+        # (TransformerNew's ±50 local attention, transformer_new.py:53)
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
         max_target_len=128,
@@ -112,6 +114,10 @@ class Encoder(nn.Module):
         x = self.pe(x)
         x = self.dropout(x, deterministic=deterministic)
         bias = padding_bias(feat_lengths, x.shape[1])
+        if c.get("attention_band", 0):
+            from ..ops.masks import banded_bias
+
+            bias = bias + banded_bias(x.shape[1], c.attention_band)
         for layer in self.layers:
             x = layer(x, bias, deterministic)
         if self.final_norm is not None:

@@ -1,0 +1,268 @@
+"""Pallas TPU kernel for CTC: fused forward-backward with custom VJP.
+
+The CTC alpha/beta recursions are sequential in T with tiny per-step work —
+exactly the shape XLA's ``lax.scan`` handles worst (per-step dispatch
+overhead, and autodiff replays the whole scan for gradients). Here
+(SURVEY §7 risk register "CTC in log-space on TPU"):
+
+- the recursion state is a (B_pad, S_pad) float32 tile — (8k, 128k)-aligned
+  VPU shape — carried in VMEM scratch across a ``grid=(T,)`` sequential
+  Pallas grid; each step is a handful of fused VPU ops (two lane shifts +
+  two logaddexp + add);
+- emission log-probs are pre-gathered OUTSIDE the kernel
+  (``take_along_axis`` to (T, B, S)) where XLA's gather is already optimal,
+  so the kernel streams small (1, B, S) blocks instead of the full
+  (B, T, C) posterior table;
+- the backward pass is a second Pallas kernel running the beta recursion in
+  reverse grid order, fused with the alpha table into the posterior
+  ``gamma``; the (B, T, S) → (B, T, C) scatter and the log-softmax chain
+  rule are one einsum + elementwise in XLA (MXU work);
+- ``custom_vjp`` wires it together: gradients are exact (tested against
+  ``optax.ctc_loss`` grads), no autodiff through the scan.
+
+Layout: B padded to 8, S = 2L+1 padded to 128 lanes. All shapes static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ctc import BIG_NEG, extend_labels
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_lanes(x, k):
+    """new[:, s] = x[:, s-k], filling with BIG_NEG (log-zero)."""
+    return jnp.pad(x, ((0, 0), (k, 0)), constant_values=BIG_NEG)[:, : x.shape[1]]
+
+
+def _alpha_kernel(emit_ref, skip_ref, len_ref, alpha_out_ref, alpha_ref):
+    """grid=(T,); alpha_ref: (B, S) VMEM scratch carried across steps."""
+    t = pl.program_id(0)
+    emit = emit_ref[0]  # (B, S)
+
+    @pl.when(t == 0)
+    def _init():
+        # alpha_0 = emit_0 at s in {0, 1}, else log-zero
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+        init_mask = s_idx <= 1
+        alpha_ref[...] = jnp.where(init_mask, emit, BIG_NEG)
+
+    @pl.when(t > 0)
+    def _step():
+        alpha = alpha_ref[...]
+        stay = jnp.logaddexp(alpha, _shift_lanes(alpha, 1))
+        with_skip = jnp.where(
+            skip_ref[...] > 0,
+            jnp.logaddexp(stay, _shift_lanes(alpha, 2)),
+            stay,
+        )
+        new = with_skip + emit
+        active = t < len_ref[...]  # (B, 1) broadcast over lanes
+        alpha_ref[...] = jnp.where(active, new, alpha)
+
+    alpha_out_ref[0] = alpha_ref[...]
+
+
+def _beta_kernel(emit_ref, skip_ref, len_ref, last_ref,
+                 beta_out_ref, beta_ref):
+    """grid=(T,) iterated in REVERSE via index maps; beta' includes emit[t]
+    (beta'[t] = beta[t] + emit[t]), which folds the y[t+1] emission factor
+    of the standard recursion into the carried state — so gamma =
+    alpha + beta' - emit."""
+    rev = pl.program_id(0)  # 0 .. T-1, with block t = T-1-rev
+    n = pl.num_programs(0)
+    t = n - 1 - rev
+    emit = emit_ref[0]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+
+    # final-position init: at t == len_b - 1, beta' = emit at s in
+    # {last_b, last_b - 1}, else log-zero
+    is_final = t == (len_ref[...] - 1)  # (B, 1)
+    final_rows = jnp.where(
+        (s_idx == last_ref[...]) | (s_idx == jnp.maximum(last_ref[...] - 1, 0)),
+        emit,
+        BIG_NEG,
+    )
+
+    @pl.when(rev == 0)
+    def _init():
+        beta_ref[...] = jnp.where(is_final, final_rows, BIG_NEG)
+
+    @pl.when(rev > 0)
+    def _step():
+        beta_next = beta_ref[...]  # beta'[t+1] (already includes emit[t+1])
+        stay = jnp.logaddexp(beta_next, _shift_lanes_left(beta_next, 1))
+        skip_shift = _shift_lanes_left(
+            jnp.where(skip_ref[...] > 0, beta_next, BIG_NEG), 2
+        )
+        with_skip = jnp.logaddexp(stay, skip_shift)
+        new = with_skip + emit
+        active = t < (len_ref[...] - 1)
+        beta_ref[...] = jnp.where(
+            is_final, final_rows, jnp.where(active, new, BIG_NEG)
+        )
+
+    beta_out_ref[0] = beta_ref[...]
+
+
+def _shift_lanes_left(x, k):
+    """new[:, s] = x[:, s+k], filling with BIG_NEG."""
+    return jnp.pad(x, ((0, 0), (0, k)), constant_values=BIG_NEG)[:, k:]
+
+
+def _skip_mask(ext: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    b = ext.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.zeros((b, 2), jnp.int32),
+            ((ext[:, 2:] != blank_id) & (ext[:, 2:] != ext[:, :-2])).astype(
+                jnp.int32
+            ),
+        ],
+        axis=1,
+    )
+
+
+def _run_recursions(log_probs, logit_lengths, ext, skip, last, interpret):
+    """Shared forward machinery: returns (alpha_all, beta_all, emit) padded."""
+    bsz, t_max, _ = log_probs.shape
+    s = ext.shape[1]
+    b_pad = _round_up(bsz, 8)
+    s_pad = _round_up(s, 128)
+
+    emit = jnp.take_along_axis(
+        log_probs, ext[:, None, :].astype(jnp.int32), axis=2
+    )  # (B, T, S)
+    emit = jnp.pad(
+        emit.transpose(1, 0, 2),
+        ((0, 0), (0, b_pad - bsz), (0, s_pad - s)),
+        constant_values=BIG_NEG,
+    )  # (T, Bp, Sp)
+    skip_p = jnp.pad(skip, ((0, b_pad - bsz), (0, s_pad - s)))
+    len_p = jnp.pad(logit_lengths.astype(jnp.int32), (0, b_pad - bsz))[:, None]
+    last_p = jnp.pad(last.astype(jnp.int32), (0, b_pad - bsz))[:, None]
+
+    row_spec = pl.BlockSpec(
+        (1, b_pad, s_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    alpha_all = pl.pallas_call(
+        _alpha_kernel,
+        grid=(t_max,),
+        in_specs=[row_spec, full((b_pad, s_pad)), full((b_pad, 1))],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((t_max, b_pad, s_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)],
+        interpret=interpret,
+    )(emit, skip_p, len_p)
+
+    rev_spec = pl.BlockSpec(
+        (1, b_pad, s_pad),
+        lambda r: (t_max - 1 - r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    beta_all = pl.pallas_call(
+        _beta_kernel,
+        grid=(t_max,),
+        in_specs=[
+            rev_spec,
+            full((b_pad, s_pad)),
+            full((b_pad, 1)),
+            full((b_pad, 1)),
+        ],
+        out_specs=rev_spec,
+        out_shape=jax.ShapeDtypeStruct((t_max, b_pad, s_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)],
+        interpret=interpret,
+    )(emit, skip_p, len_p, last_p)
+
+    return alpha_all, beta_all, emit
+
+
+def _loss_from_alpha(alpha_all, logit_lengths, last, bsz):
+    a_final = alpha_all[
+        jnp.maximum(logit_lengths - 1, 0), jnp.arange(bsz)
+    ]  # (B, Sp)
+    a_last = jnp.take_along_axis(a_final, last[:, None], axis=1)[:, 0]
+    prev = jnp.maximum(last - 1, 0)
+    a_prev = jnp.take_along_axis(a_final, prev[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(last > 0, a_prev, BIG_NEG)
+    return -jnp.logaddexp(a_last, a_prev)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_loss_pallas(logits, logit_lengths, labels, label_lengths, blank_id=0):
+    """Per-utterance CTC NLL — same contract as ``ops.ctc.ctc_loss`` but
+    with Pallas recursions and an exact fused backward."""
+    loss, _ = _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id)
+    return loss
+
+
+def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
+    bsz, t_max, c = logits.shape
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ext = extend_labels(labels, blank_id)  # (B, S)
+    skip = _skip_mask(ext, blank_id)
+    last = (2 * label_lengths).astype(jnp.int32)
+    alpha_all, beta_all, emit = _run_recursions(
+        log_probs, logit_lengths, ext, skip, last, _use_interpret()
+    )
+    loss = _loss_from_alpha(alpha_all, logit_lengths.astype(jnp.int32), last, bsz)
+    residuals = (
+        log_probs,
+        alpha_all,
+        beta_all,
+        emit,
+        ext,
+        logit_lengths,
+        loss,
+    )
+    return loss, residuals
+
+
+def _ctc_bwd(blank_id, residuals, g):
+    log_probs, alpha_all, beta_all, emit, ext, logit_lengths, loss = residuals
+    bsz, t_max, c = log_probs.shape
+    s = ext.shape[1]
+
+    # gamma[t, b, s] = log(alpha * beta / emit) ; beta' includes emit[t]
+    gamma = alpha_all + beta_all - emit  # (T, Bp, Sp)
+    gamma = gamma[:, :bsz, :s].transpose(1, 0, 2)  # (B, T, S)
+    # posterior z = exp(gamma + loss)  (loss = -log p_total)
+    z = jnp.exp(
+        jnp.clip(gamma + loss[:, None, None], max=0.0)
+    )  # clip guards fp slop
+    # mask out t >= length
+    t_mask = (
+        jnp.arange(t_max)[None, :, None] < logit_lengths[:, None, None]
+    )
+    z = jnp.where(t_mask, z, 0.0)
+
+    # scatter (B, T, S) -> (B, T, C): one-hot matmul (MXU)
+    onehot = jax.nn.one_hot(ext, c, dtype=z.dtype)  # (B, S, C)
+    d_logp = -jnp.einsum("bts,bsc->btc", z, onehot)
+    # chain through log_softmax: d_logits = d_logp - softmax * sum_c d_logp
+    softmax = jnp.exp(log_probs)
+    d_logits = d_logp - softmax * jnp.sum(d_logp, axis=-1, keepdims=True)
+    d_logits = d_logits * g[:, None, None]
+    return (d_logits.astype(jnp.float32), None, None, None)
+
+
+ctc_loss_pallas.defvjp(_ctc_fwd, _ctc_bwd)

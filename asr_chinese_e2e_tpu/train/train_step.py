@@ -33,6 +33,7 @@ from ..data.features import FeatureConfig, parse_batch
 from ..data.vocab import IGNORE_ID
 from ..losses import smoothed_cross_entropy
 from ..ops.ctc import ctc_loss
+from ..ops.ctc_pallas import ctc_loss_pallas
 
 
 @flax.struct.dataclass
@@ -42,7 +43,14 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
-def model_loss(out: dict, labels, label_lengths, ctc_weight: float, smoothing: float):
+def model_loss(
+    out: dict,
+    labels,
+    label_lengths,
+    ctc_weight: float,
+    smoothing: float,
+    ctc_impl: str = "pallas",
+):
     """Hybrid λ·CTC + (1−λ)·CE over whatever branches the model provides."""
     metrics = {}
     loss = 0.0
@@ -54,7 +62,8 @@ def model_loss(out: dict, labels, label_lengths, ctc_weight: float, smoothing: f
         metrics.update(ce_loss=ce, n_correct=n_correct, n_word=n_word)
         loss = loss + (1.0 - ctc_weight) * ce if has_ctc else ce
     if has_ctc:
-        per_utt = ctc_loss(
+        ctc_fn = ctc_loss_pallas if ctc_impl == "pallas" else ctc_loss
+        per_utt = ctc_fn(
             out["ctc_logits"], out["enc_lengths"], labels, label_lengths
         )
         ctc = jnp.mean(per_utt)
@@ -79,6 +88,7 @@ def make_step_fns(
     ctc_weight = float(cfg.get("ctc_weight", 0.0))
     smoothing = float(cfg.get("label_smoothing", 0.0))
     use_specaug = bool(cfg.get("spec_augment", False))
+    ctc_impl = cfg.get("ctc_impl", "pallas")
 
     def featurize(wave, wave_lengths, rng, augment):
         if raw_features:
@@ -117,7 +127,9 @@ def make_step_fns(
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
-            return model_loss(out, labels, label_lengths, ctc_weight, smoothing)
+            return model_loss(
+                out, labels, label_lengths, ctc_weight, smoothing, ctc_impl
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -134,7 +146,9 @@ def make_step_fns(
     def eval_step(params, wave, wave_lengths, labels, label_lengths):
         feats, feat_lens = featurize(wave, wave_lengths, None, False)
         out = model.apply(params, feats, feat_lens, labels, label_lengths)
-        _, metrics = model_loss(out, labels, label_lengths, ctc_weight, smoothing)
+        _, metrics = model_loss(
+            out, labels, label_lengths, ctc_weight, smoothing, ctc_impl
+        )
         if "logits" in out:
             # teacher-forced argmax ids for host-side CER at eval cadence
             # (metric parity: transformer_official.py:87-94)

@@ -130,7 +130,16 @@ class Trainer:
         acc = MetricsAccumulator()
         self.throughput.reset()
         sr = self.feat_cfg.sample_rate
+        # optional xprof trace window (SURVEY §5.1: tracing/profiling)
+        prof_from = cfg.get("profile_from_step", 0)
+        prof_steps = cfg.get("profile_steps", 0)
+        profiling = False
         for batch in self.train_loader.epoch(epoch):
+            if prof_steps and not profiling and int(self.state.step) == prof_from:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
+                profiling = True
             arrays = self._put_batch(batch)
             self.state, metrics = self.train_step(
                 self.state,
@@ -141,6 +150,11 @@ class Trainer:
                 self.rng,
             )
             step = int(self.state.step)
+            if profiling and step >= prof_from + prof_steps:
+                import jax
+
+                jax.profiler.stop_trace()
+                profiling = False
             self.throughput.step(float(np.sum(batch.wave_lengths)) / sr)
             acc.update(
                 {k: v for k, v in metrics.items()}, num_samples=len(batch.texts)
@@ -162,6 +176,10 @@ class Trainer:
                 self.evaluate(self.dev_loader, "dev/")
             if step % cfg.save_every_iter == 0:
                 self.save()
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
 
     def evaluate(self, loader: BucketedLoader, prefix: str = "dev/") -> float:
         """Weighted-mean metrics + teacher-forced CER over a loader

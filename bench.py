@@ -27,7 +27,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def main(
+    seconds: float = 8.0,
+    batch: int = 64,
+    vocab_size: int = 4233,  # AISHELL-1 char vocab scale
+    label_len: int = 20,
+    ctc_weight: float = 0.3,
+    dtype: str = "bfloat16",
+    n_steps: int = 10,
+    **model_overrides,
+):
     import jax
 
     from asr_chinese_e2e_tpu.data.features import FeatureConfig
@@ -44,14 +53,10 @@ def main():
     n_chips = len(jax.devices())
     log(f"devices: {jax.devices()}")
 
-    seconds = 8.0
-    batch = 64
-    vocab_size = 4233  # AISHELL-1 char vocab scale
-    label_len = 20
-
     feat_cfg = FeatureConfig()
     cfg = default_config().build(
-        ctc_weight=0.3, dtype="bfloat16", input_dim=feat_cfg.feature_dim
+        ctc_weight=ctc_weight, dtype=dtype, input_dim=feat_cfg.feature_dim,
+        **model_overrides,
     )
     tcfg = default_train_config().combine(cfg).build(spec_augment=True)
     model = SpeechTransformer(cfg, vocab_size)
@@ -108,7 +113,6 @@ def main():
         state, metrics = train_step(state, *args, step_rng)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, *args, step_rng)
@@ -136,4 +140,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from asr_chinese_e2e_tpu.utils.cli import parse_kwargs
+
+    _, kwargs = parse_kwargs(sys.argv[1:])
+    main(**kwargs)

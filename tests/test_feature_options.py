@@ -1,0 +1,63 @@
+"""AudioParser2-style feature options: per-dim CMVN, deltas, banded attn."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_chinese_e2e_tpu.data.features import (
+    FeatureConfig,
+    cmvn_per_dim,
+    delta_features,
+    parse_batch,
+)
+
+
+def test_cmvn_per_dim_matches_numpy():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 12, 5).astype(np.float32) * 2 + 3
+    lengths = np.array([12, 9])
+    feats[1, 9:] = 0
+    got = np.asarray(cmvn_per_dim(jnp.asarray(feats), jnp.asarray(lengths)))
+    for b, L in enumerate(lengths):
+        x = feats[b, :L]
+        want = (x - x.mean(axis=0)) / (x.std(axis=0) + 1e-16)
+        np.testing.assert_allclose(got[b, :L], want, rtol=1e-4, atol=1e-5)
+
+
+def test_delta_features_formula():
+    # linear ramp -> constant delta (slope), interior points
+    t = np.arange(10, dtype=np.float32)
+    feats = np.tile(t[None, :, None], (1, 1, 3)) * 2.0  # slope 2
+    d = np.asarray(delta_features(jnp.asarray(feats)))
+    np.testing.assert_allclose(d[0, 2:-2], 2.0, rtol=1e-5)
+
+
+def test_parse_batch_with_deltas_dim():
+    cfg = FeatureConfig(n_mels=20, use_delta=True, use_delta_delta=True)
+    assert cfg.feature_dim == 20 * 3 * 4
+    wave = jnp.asarray(np.random.RandomState(0).randn(1, 8000).astype(np.float32))
+    feats, lens = parse_batch(wave, jnp.asarray([8000]), cfg)
+    assert feats.shape[2] == cfg.feature_dim
+
+
+def test_banded_attention_restricts_context():
+    from asr_chinese_e2e_tpu.models.transformer import SpeechTransformer
+    from tests.test_transformer import init_model, make_batch, tiny_cfg
+
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3, attention_band=2)
+    model, params = init_model(cfg)
+    feats, feat_lens, labels, label_lens = make_batch()
+    out1 = model.apply(params, feats, feat_lens, labels, label_lens)
+    # perturb a frame far outside the band of frame 0 (distance 8 > 2x2 layers=4)
+    feats2 = feats.at[0, 8].set(feats[0, 8] + 10.0)
+    out2 = model.apply(params, feats2, feat_lens, labels, label_lens)
+    # frame 0's encoder output can only see frames within 2 layers * band 2 = 4
+    np.testing.assert_allclose(
+        np.asarray(out1["enc_out"])[0, 0],
+        np.asarray(out2["enc_out"])[0, 0],
+        atol=1e-5,
+    )
+    # but a frame within the band does change
+    assert not np.allclose(
+        np.asarray(out1["enc_out"])[0, 7], np.asarray(out2["enc_out"])[0, 7]
+    )

@@ -79,6 +79,9 @@ class BucketedLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         max_frames: int | None = None,
+        use_native_io: bool = True,
+        io_threads: int = 8,
+        prefetch: int = 2,
     ) -> None:
         records = read_manifest(manifest_path)
         self.boundaries = [int(s * sample_rate) for s in bucket_seconds]
@@ -104,6 +107,14 @@ class BucketedLoader:
         self.drop_last = drop_last
         self.num_hosts = num_hosts
         self.host_id = host_id
+        self.io_threads = io_threads
+        self.prefetch = prefetch
+        self._native = None
+        if use_native_io:
+            from . import native
+
+            if native.available():
+                self._native = native
 
     def _bucket_of(self, n_samples: int) -> int:
         for b in self.boundaries:
@@ -124,7 +135,15 @@ class BucketedLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Deterministic per-epoch stream: shuffle(seed+epoch) -> shard by
-        host -> fill buckets in stream order, emit when full."""
+        host -> fill buckets in stream order, emit when full. Batches are
+        assembled ``prefetch`` ahead on a background thread so decode/IO
+        overlaps device compute."""
+        if self.prefetch > 0:
+            yield from _prefetched(self._epoch_sync(epoch), self.prefetch)
+        else:
+            yield from self._epoch_sync(epoch)
+
+    def _epoch_sync(self, epoch: int = 0) -> Iterator[Batch]:
         order = np.arange(len(self.records))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
@@ -145,20 +164,56 @@ class BucketedLoader:
     def _collate(self, items: list, boundary: int) -> Batch:
         """Pad waves to the bucket boundary and targets to max_target_len
         (the ``collat`` analogue, ``ai_shell_1.py:67-88`` — minus the
-        per-batch-max padding and the host->GPU copy)."""
+        per-batch-max padding and the host->GPU copy). Wav decode goes
+        through the native C++ threadpool when available."""
         bsz = len(items)
-        wave = np.zeros((bsz, boundary), dtype=np.float32)
-        wave_lengths = np.zeros((bsz,), dtype=np.int32)
         labels = np.zeros((bsz, self.max_target_len), dtype=np.int32)
         label_lengths = np.zeros((bsz,), dtype=np.int32)
         texts = []
+        if self._native is not None:
+            wave, wave_lengths = self._native.read_wav_batch(
+                [record["wave"] for record, _ in items],
+                boundary,
+                num_threads=self.io_threads,
+            )
+            wave_lengths = wave_lengths.astype(np.int32)
+        else:
+            wave = np.zeros((bsz, boundary), dtype=np.float32)
+            wave_lengths = np.zeros((bsz,), dtype=np.int32)
+            for i, (record, _) in enumerate(items):
+                x = load_wav(record["wave"])
+                n = min(len(x), boundary)
+                wave[i, :n] = x[:n]
+                wave_lengths[i] = n
         for i, (record, _) in enumerate(items):
-            x = load_wav(record["wave"])
-            n = min(len(x), boundary)
-            wave[i, :n] = x[:n]
-            wave_lengths[i] = n
             ids = self.vocab.str_to_ids(record["tgt"])  # no bos/eos
             label_lengths[i] = len(ids)
             labels[i, : len(ids)] = ids
             texts.append(record["tgt"])
         return Batch(wave, wave_lengths, labels, label_lengths, texts, boundary)
+
+
+def _prefetched(it: Iterator[Batch], depth: int) -> Iterator[Batch]:
+    """Run ``it`` on a daemon thread, buffering ``depth`` batches."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

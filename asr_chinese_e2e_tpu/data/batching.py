@@ -82,9 +82,27 @@ class BucketedLoader:
         use_native_io: bool = True,
         io_threads: int = 8,
         prefetch: int = 2,
+        feat_cfg=None,
     ) -> None:
+        """``feat_cfg``: when set AND the manifest rows carry a
+        ``"feature"`` path (predumped features, the reference's
+        ``pre_dump_features`` analogue, ``ai_shell_1.py:44-64``), batches
+        hold cached (T, D) features instead of waveforms; ``frames`` is
+        then a feature-frame count and bucket boundaries are converted
+        accordingly. Feed such batches to a trainer built with
+        ``raw_features=True``."""
         records = read_manifest(manifest_path)
-        self.boundaries = [int(s * sample_rate) for s in bucket_seconds]
+        self.cached_features = bool(records) and "feature" in records[0]
+        self.feat_cfg = feat_cfg
+        if self.cached_features:
+            assert feat_cfg is not None, "cached-feature manifest needs feat_cfg"
+            self.boundaries = [
+                int(feat_cfg.num_lfr_frames(feat_cfg.num_frames(int(s * sample_rate))))
+                for s in bucket_seconds
+            ]
+            self.feature_dim = int(np.load(records[0]["feature"], mmap_mode="r").shape[1])
+        else:
+            self.boundaries = [int(s * sample_rate) for s in bucket_seconds]
         max_samples = self.boundaries[-1]
         kept = []
         for r in records:
@@ -170,7 +188,15 @@ class BucketedLoader:
         labels = np.zeros((bsz, self.max_target_len), dtype=np.int32)
         label_lengths = np.zeros((bsz,), dtype=np.int32)
         texts = []
-        if self._native is not None:
+        if self.cached_features:
+            wave = np.zeros((bsz, boundary, self.feature_dim), dtype=np.float32)
+            wave_lengths = np.zeros((bsz,), dtype=np.int32)
+            for i, (record, _) in enumerate(items):
+                x = np.load(record["feature"])
+                n = min(len(x), boundary)
+                wave[i, :n] = x[:n]
+                wave_lengths[i] = n
+        elif self._native is not None:
             wave, wave_lengths = self._native.read_wav_batch(
                 [record["wave"] for record, _ in items],
                 boundary,

@@ -79,7 +79,13 @@ class MultiHeadAttention(nn.Module):
 
     def _attend(self, q, k, v, bias, deterministic):
         scale = 1.0 / np.sqrt(self.head_dim)  # attention.py:16 temperature
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        # accumulate QK^T in f32 ON the MXU (free) rather than bf16+cast
+        logits = (
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
         if bias is not None:
             logits = logits + bias
         weights = nn.softmax(logits, axis=-1).astype(self.dtype)

@@ -29,6 +29,41 @@ MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple[int, int]:
+    """Multi-host bootstrap (``jax.distributed.initialize``; SURVEY §5.8).
+
+    On single-host runs this is a no-op. Returns (process_count,
+    process_index) — feed these to the BucketedLoader as
+    (num_hosts, host_id) so each host reads a disjoint manifest shard."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count(), jax.process_index()
+
+
+def put_host_batch(mesh: Mesh, arrays: dict) -> dict:
+    """Assemble a global batch from per-host shards.
+
+    Single-process: plain sharded device_put. Multi-process: each host
+    contributes its local batch rows via
+    ``jax.make_array_from_process_local_data`` (the global batch dim is
+    num_hosts x local_batch, split over ``data``)."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in arrays.items()
+    }
+
+
 def make_mesh(
     data: int = -1,
     model: int = 1,

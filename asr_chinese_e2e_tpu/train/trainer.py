@@ -76,7 +76,9 @@ class Trainer:
         self.init_fn, self.train_step, self.eval_step = make_step_fns(
             model, tx, feat_cfg, cfg, raw_features=raw_features
         )
-        self.rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.rng = jax.random.key(
+            cfg.get("seed", 0), impl=cfg.get("rng_impl", "rbg")
+        )
         self.state = None
         self.epoch = 0
         self._d_model = cfg.get("d_model", cfg.get("hidden_size", 512))
@@ -92,8 +94,9 @@ class Trainer:
             "label_lengths": batch.label_lengths,
         }
         if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+            from ..parallel.sharding import put_host_batch
+
+            return put_host_batch(self.mesh, arrays)
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
     def _init_state(self) -> None:

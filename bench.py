@@ -100,7 +100,7 @@ def main(
             jax.device_put(host_batch[k])
             for k in ("wave", "wave_lengths", "labels", "label_lengths")
         ]
-    step_rng = jax.random.PRNGKey(1)
+    step_rng = jax.random.key(1, impl=tcfg.get("rng_impl", "rbg"))
 
     t0 = time.perf_counter()
     state, metrics = train_step(state, *args, step_rng)

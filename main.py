@@ -57,6 +57,18 @@ def train(**cli_kwargs):
     if "warm_up" in cli_kwargs:
         cli_kwargs.setdefault("warmup", cli_kwargs.pop("warm_up"))
 
+    # multi-host bootstrap first (before any device queries)
+    if cli_kwargs.get("num_processes", 0) > 1:
+        from asr_chinese_e2e_tpu.parallel.sharding import initialize_distributed
+
+        n_hosts, host_id = initialize_distributed(
+            cli_kwargs.pop("coordinator_address", None),
+            cli_kwargs.pop("num_processes"),
+            cli_kwargs.pop("process_id", None),
+        )
+        cli_kwargs.setdefault("num_hosts", n_hosts)
+        cli_kwargs.setdefault("host_id", host_id)
+
     base = data_config().combine(default_train_config())
     model_name = cli_kwargs.get("model_name", base.model_name)
     model_cls, model_default = get_model(model_name)

@@ -58,6 +58,7 @@ class FeatureConfig:
     cmvn_mode: str = "global"  # "global" (AudioParser) | "per_dim" (AudioParser2)
     use_delta: bool = False  # append Δ features
     use_delta_delta: bool = False  # append ΔΔ features
+    fbank_impl: str = "xla"  # "xla" | "pallas" (ops/fbank_pallas fused kernel)
 
     @property
     def feature_dim(self) -> int:
@@ -283,7 +284,12 @@ def parse_batch(
     """(B, S) waveforms + sample lengths -> (B, T_lfr, feature_dim) features
     + frame lengths. Pipeline: fbank → log → [Δ/ΔΔ] → CMVN → [SpecAugment]
     → LFR."""
-    feats = log_mel_spectrogram(wave, cfg)  # (B, T, n_mels)
+    if cfg.fbank_impl == "pallas":
+        from ..ops.fbank_pallas import log_mel_spectrogram_pallas
+
+        feats = log_mel_spectrogram_pallas(wave, cfg)  # (B, T, n_mels)
+    else:
+        feats = log_mel_spectrogram(wave, cfg)
     feat_lengths = cfg.num_frames(wave_lengths)
     if cfg.use_delta or cfg.use_delta_delta:
         parts = [feats]

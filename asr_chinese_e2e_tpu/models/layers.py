@@ -104,6 +104,47 @@ class MultiHeadAttention(nn.Module):
         k, v = self.kv(kv_in)
         return self._attend(q, k, v, bias, deterministic)
 
+    def flash(self, x, lengths, deterministic: bool = True):
+        """Flash-attention self-attention path (jax's Pallas TPU kernel).
+
+        Avoids materialising the (B, H, T, T) weight tensor in fwd AND bwd
+        — the dominant memory traffic of the XLA path at speech sequence
+        lengths. Padding is masked via segment ids; attention-WEIGHT
+        dropout is not applied on this path (output dropout still is) —
+        enable via ``attn_impl='flash'``.
+        """
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
+            flash_attention,
+        )
+
+        b, t, _ = x.shape
+        q = self.q_proj(x)
+        k, v = self.kv(x)
+        t_pad = ((t + 127) // 128) * 128
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)  # (B, H, Tp, dk)
+        kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+        vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+        seg = (jnp.arange(t_pad)[None, :] < lengths[:, None]).astype(jnp.int32)
+        blk = min(512, t_pad)
+        sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        out = flash_attention(
+            qt, kt, vt,
+            segment_ids=SegmentIds(q=seg, kv=seg),
+            causal=False,
+            sm_scale=1.0 / float(np.sqrt(self.head_dim)),
+            block_sizes=sizes,
+        )
+        out = out.transpose(0, 2, 1, 3)[:, :t].astype(self.dtype)
+        return self.out_drop(self.out_proj(out), deterministic=deterministic)
+
     def step_self(self, x, cache: dict, index, bias):
         """Cached self-attention decode step. x: (B, 1, D); cache holds
         (B, Tmax, H, dk) key/value buffers; index is the write position."""

@@ -59,6 +59,7 @@ def default_config() -> Config:
         frontend="linear",  # or "conv2d" subsampling
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
+        attn_impl="xla",  # "xla" | "flash" (Pallas kernel; no weight dropout)
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
         max_target_len=128,
@@ -79,8 +80,11 @@ class EncoderLayer(nn.Module):
         self.sub1 = SubLayer(c.norm_type, self.dtype)
         self.sub2 = SubLayer(c.norm_type, self.dtype)
 
-    def __call__(self, x, bias, deterministic=True):
-        x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
+    def __call__(self, x, bias, deterministic=True, lengths=None):
+        if self.cfg.get("attn_impl", "xla") == "flash" and lengths is not None:
+            x = self.sub1(x, lambda y: self.attn.flash(y, lengths, deterministic))
+        else:
+            x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
         return self.sub2(x, lambda y: self.ffn(y, deterministic))
 
 
@@ -119,7 +123,7 @@ class Encoder(nn.Module):
 
             bias = bias + banded_bias(x.shape[1], c.attention_band)
         for layer in self.layers:
-            x = layer(x, bias, deterministic)
+            x = layer(x, bias, deterministic, lengths=feat_lengths)
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x, feat_lengths

@@ -70,7 +70,7 @@ def default_train_config() -> Config:
         seed=0,
         # PRNG for dropout/SpecAugment. "rbg" uses the TPU hardware RNG —
         # threefry mask generation alone costs ~40% of the train step at
-        # this model size (measured on v5e); "threefry" for cross-platform
+        # this model size (measured on v5e); "threefry2x32" for cross-platform
         # bit-exact reproducibility.
         rng_impl="rbg",
         exp_root="ckpt",

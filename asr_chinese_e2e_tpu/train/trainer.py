@@ -76,6 +76,25 @@ class Trainer:
         self.init_fn, self.train_step, self.eval_step = make_step_fns(
             model, tx, feat_cfg, cfg, raw_features=raw_features
         )
+        self._raw_features = raw_features
+        # optional decoded-CER eval (the reference only ever evaluates
+        # teacher-forced argmax CER — SURVEY §3.3); modes: none |
+        # ctc_greedy | attention_greedy
+        self._eval_decode = cfg.get("eval_decode", "none")
+        self._encode_fn = None
+        if self._eval_decode != "none":
+            import jax.numpy as jnp
+
+            from ..data.features import parse_batch
+
+            def encode(params, wave, wave_lengths):
+                if raw_features:
+                    feats, feat_lens = wave, wave_lengths
+                else:
+                    feats, feat_lens = parse_batch(wave, wave_lengths, feat_cfg)
+                return model.apply(params, feats, feat_lens, method="encode")
+
+            self._encode_fn = jax.jit(encode)
         self.rng = jax.random.key(
             cfg.get("seed", 0), impl=cfg.get("rng_impl", "rbg")
         )
@@ -207,12 +226,38 @@ class Trainer:
                     np.asarray(metrics["gold_ids"]),
                     self.vocab,
                 )
+            if self._eval_decode != "none":
+                host["decoded_cer"] = self._decoded_cer(batch, arrays)
             acc.update(host, num_samples=n)
         means = acc.means()
         step = int(self.state.step) if self.state is not None else 0
         self.writer.write(step, {prefix + k: v for k, v in means.items()})
         key = self.cfg.get("reference", "-loss").lstrip("+-")
         return means.get(key, means.get("loss", 0.0))
+
+    def _decoded_cer(self, batch: Batch, arrays: dict) -> float:
+        """True decoded CER for one eval batch (host detok + Levenshtein)."""
+        from ..decode.cer import corpus_cer
+        from ..decode.greedy import (
+            attention_greedy_decode,
+            ctc_greedy_decode,
+            tokens_to_ids,
+        )
+
+        enc_out, enc_lens = self._encode_fn(
+            self.state.params, arrays["wave"], arrays["wave_lengths"]
+        )
+        if self._eval_decode == "ctc_greedy":
+            lp = self.model.apply(self.state.params, enc_out, method="ctc_log_probs")
+            hyp_ids = ctc_greedy_decode(lp, enc_lens)
+        else:  # attention_greedy
+            tokens, _ = attention_greedy_decode(
+                self.model, self.state.params, enc_out, enc_lens,
+                self.cfg.get("max_target_len", 64),
+            )
+            hyp_ids = tokens_to_ids(tokens)
+        hyps = ["".join(self.vocab.ids_to_tokens(ids)) for ids in hyp_ids]
+        return corpus_cer(hyps, batch.texts)
 
     def save(self, metric: Optional[float] = None, resume_epoch: Optional[int] = None) -> str:
         return self.ckpt.save(

@@ -35,9 +35,33 @@ def _populate() -> None:
     from ..models import example, rnn, transformer
 
     register("SpeechTransformer", transformer.SpeechTransformer, transformer.default_config)
-    # reference alias: the variant the reference trains (main.py:103)
+    # reference aliases (Predictor/Models/__init__.py:1-5). Each maps to
+    # SpeechTransformer with the variant's distinguishing hyperparams:
+    # - TransformerOffical: the trained variant (main.py:103) == defaults
+    # - Transformer (v1, base_transformer.py): d_ff 512 (its missing 1/√d
+    #   attention scale is a bug, SURVEY App.A — not replicated)
+    # - TransformerNew: d_model 256, 4 heads, ±50-frame banded encoder
+    #   attention (transformer_new.py:53,98-109)
+    # - TransformerNew2: tied embeddings + pre-input LN placement
+    #   (transformer_new2.py:24-105) — tying is already our default
     register("TransformerOffical", transformer.SpeechTransformer, transformer.default_config)
-    register("Transformer", transformer.SpeechTransformer, transformer.default_config)
+    register(
+        "Transformer",
+        transformer.SpeechTransformer,
+        lambda: transformer.default_config().build(d_ff=512),
+    )
+    register(
+        "TransformerNew",
+        transformer.SpeechTransformer,
+        lambda: transformer.default_config().build(
+            d_model=256, num_heads=4, d_ff=256, attention_band=50
+        ),
+    )
+    register(
+        "TransformerNew2",
+        transformer.SpeechTransformer,
+        transformer.default_config,
+    )
     register("BiLSTMCTC", rnn.BiLSTMCTC, rnn.default_ctc_config)
     register("LAS", rnn.LAS, rnn.default_las_config)
     register("ExampleModel", example.ExampleModel, example.default_config)

@@ -57,6 +57,42 @@ def smoothed_cross_entropy(
     return loss, n_correct
 
 
+def model_loss(
+    out: dict,
+    labels,
+    label_lengths,
+    ctc_weight: float,
+    smoothing: float,
+    ctc_impl: str = "pallas",
+):
+    """Hybrid λ·CTC + (1−λ)·CE over whatever branches the model provides.
+
+    λ==0 reduces to the reference's pure-CE objective
+    (``transformer_official.py:86``); λ==1 is CTC-only (north-star #1).
+    ``out``: model forward dict with optional keys ``logits``/``gold``
+    (CE branch) and ``ctc_logits``/``enc_lengths`` (CTC branch)."""
+    from .data.vocab import IGNORE_ID
+    from .ops.ctc_pallas import ctc_loss_pallas
+
+    metrics = {}
+    loss = 0.0
+    has_ce = "logits" in out and ctc_weight < 1.0
+    has_ctc = "ctc_logits" in out and ctc_weight > 0.0
+    if has_ce:
+        ce, n_correct = smoothed_cross_entropy(out["logits"], out["gold"], smoothing)
+        n_word = jnp.sum((out["gold"] != IGNORE_ID).astype(jnp.float32))
+        metrics.update(ce_loss=ce, n_correct=n_correct, n_word=n_word)
+        loss = loss + (1.0 - ctc_weight) * ce if has_ctc else ce
+    if has_ctc:
+        ctc_fn = ctc_loss_pallas if ctc_impl == "pallas" else ctc_loss
+        per_utt = ctc_fn(out["ctc_logits"], out["enc_lengths"], labels, label_lengths)
+        ctc = jnp.mean(per_utt)
+        metrics["ctc_loss"] = ctc
+        loss = loss + ctc_weight * ctc if has_ce else ctc
+    metrics["loss"] = loss
+    return loss, metrics
+
+
 def hybrid_loss(
     ce_logits: jnp.ndarray,
     ce_targets: jnp.ndarray,
@@ -67,19 +103,11 @@ def hybrid_loss(
     ctc_weight: float = 0.0,
     smoothing: float = 0.0,
 ) -> tuple[jnp.ndarray, dict]:
-    """loss = λ·CTC + (1−λ)·CE (BASELINE.json hybrid objective).
-
-    λ==0 reduces to the reference's pure-CE objective
-    (``transformer_official.py:86``)."""
-    ce, n_correct = smoothed_cross_entropy(ce_logits, ce_targets, smoothing)
-    metrics = {"ce_loss": ce, "n_correct": n_correct}
-    if ctc_weight > 0.0:
-        assert ctc_logits is not None
-        per_utt = ctc_loss(ctc_logits, ctc_logit_lengths, ctc_labels, ctc_label_lengths)
-        ctc = jnp.mean(per_utt)
-        metrics["ctc_loss"] = ctc
-        loss = ctc_weight * ctc + (1.0 - ctc_weight) * ce
-    else:
-        loss = ce
-    metrics["loss"] = loss
-    return loss, metrics
+    """Array-argument convenience wrapper over ``model_loss``."""
+    out = {"logits": ce_logits, "gold": ce_targets}
+    if ctc_logits is not None:
+        out["ctc_logits"] = ctc_logits
+        out["enc_lengths"] = ctc_logit_lengths
+    return model_loss(
+        out, ctc_labels, ctc_label_lengths, ctc_weight, smoothing, "scan"
+    )

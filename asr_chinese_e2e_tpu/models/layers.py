@@ -60,6 +60,10 @@ class MultiHeadAttention(nn.Module):
     head_dim: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    # dropout ON the attention weights (reference behavior,
+    # attention.py:17). False drops only the output — saves generating
+    # and storing (B, H, Tq, Tk) masks every step.
+    weight_dropout: bool = True
 
     def setup(self):
         h, dk = self.num_heads, self.head_dim
@@ -89,7 +93,8 @@ class MultiHeadAttention(nn.Module):
         if bias is not None:
             logits = logits + bias
         weights = nn.softmax(logits, axis=-1).astype(self.dtype)
-        weights = self.attn_drop(weights, deterministic=deterministic)
+        if self.weight_dropout:
+            weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         return self.out_drop(self.out_proj(out), deterministic=deterministic)
 

@@ -60,6 +60,7 @@ def default_config() -> Config:
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
         attn_impl="xla",  # "xla" | "flash" (Pallas kernel; no weight dropout)
+        attn_weight_dropout=True,  # reference parity; False saves big masks
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
         max_target_len=128,
@@ -74,7 +75,8 @@ class EncoderLayer(nn.Module):
     def setup(self):
         c = self.cfg
         self.attn = MultiHeadAttention(
-            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
+            weight_dropout=c.get("attn_weight_dropout", True),
         )
         self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
         self.sub1 = SubLayer(c.norm_type, self.dtype)
@@ -135,11 +137,14 @@ class DecoderLayer(nn.Module):
 
     def setup(self):
         c = self.cfg
+        wd = c.get("attn_weight_dropout", True)
         self.self_attn = MultiHeadAttention(
-            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
+            weight_dropout=wd,
         )
         self.cross_attn = MultiHeadAttention(
-            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
+            weight_dropout=wd,
         )
         self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
         self.sub1 = SubLayer(c.norm_type, self.dtype)

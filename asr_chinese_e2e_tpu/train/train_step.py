@@ -30,10 +30,7 @@ import optax
 
 from ..core.config import Config
 from ..data.features import FeatureConfig, parse_batch
-from ..data.vocab import IGNORE_ID
-from ..losses import smoothed_cross_entropy
-from ..ops.ctc import ctc_loss
-from ..ops.ctc_pallas import ctc_loss_pallas
+from ..losses import model_loss
 
 
 @flax.struct.dataclass
@@ -41,36 +38,6 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
-
-
-def model_loss(
-    out: dict,
-    labels,
-    label_lengths,
-    ctc_weight: float,
-    smoothing: float,
-    ctc_impl: str = "pallas",
-):
-    """Hybrid λ·CTC + (1−λ)·CE over whatever branches the model provides."""
-    metrics = {}
-    loss = 0.0
-    has_ce = "logits" in out and ctc_weight < 1.0
-    has_ctc = "ctc_logits" in out and ctc_weight > 0.0
-    if has_ce:
-        ce, n_correct = smoothed_cross_entropy(out["logits"], out["gold"], smoothing)
-        n_word = jnp.sum((out["gold"] != IGNORE_ID).astype(jnp.float32))
-        metrics.update(ce_loss=ce, n_correct=n_correct, n_word=n_word)
-        loss = loss + (1.0 - ctc_weight) * ce if has_ctc else ce
-    if has_ctc:
-        ctc_fn = ctc_loss_pallas if ctc_impl == "pallas" else ctc_loss
-        per_utt = ctc_fn(
-            out["ctc_logits"], out["enc_lengths"], labels, label_lengths
-        )
-        ctc = jnp.mean(per_utt)
-        metrics["ctc_loss"] = ctc
-        loss = loss + ctc_weight * ctc if has_ce else ctc
-    metrics["loss"] = loss
-    return loss, metrics
 
 
 def make_step_fns(

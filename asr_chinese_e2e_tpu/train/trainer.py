@@ -66,6 +66,12 @@ class Trainer:
         self.mesh = mesh
         exp_name = cfg.get("exp_name") or default_exp_name()
         self.exp_dir = os.path.join(cfg.get("exp_root", "ckpt"), exp_name)
+        if cfg.get("drop_exp", False) and os.path.isdir(self.exp_dir):
+            # opt-in (the reference rm -rf's by DEFAULT, trainer11.py:34-37
+            # — a destructive default deliberately not replicated)
+            import shutil
+
+            shutil.rmtree(self.exp_dir)
         os.makedirs(self.exp_dir, exist_ok=True)
         cfg.save(os.path.join(self.exp_dir, "config.json"))
         self.writer = ScalarWriter(self.exp_dir)
@@ -137,9 +143,14 @@ class Trainer:
             if self.mesh is not None:
                 self.state = jax.device_put(self.state, replicated(self.mesh))
             self.epoch = int(meta["epoch"])
+        extra_evals = set(self.cfg.get("extra_eval_epochs", ()) or ())
         for epoch in range(self.epoch, self.cfg.num_epoch):
             self.epoch = epoch
             self.train_epoch(epoch)
+            if self.dev_loader is not None and epoch in extra_evals:
+                # the reference's hardcoded extra dev evals at epochs
+                # {10,50,80,100,200} (trainer11.py:76-77), as a knob
+                self.evaluate(self.dev_loader, "dev/")
             metric = None
             if self.test_loader is not None:  # test eval at epoch end
                 metric = self.evaluate(self.test_loader, "test/")

@@ -167,8 +167,15 @@ class Trainer:
         prof_from = cfg.get("profile_from_step", 0)
         prof_steps = cfg.get("profile_steps", 0)
         profiling = False
+        # the hot loop NEVER syncs with the device except at log/eval/save
+        # cadence: metrics stay device arrays in a buffer, and the step
+        # counter is tracked on host. (The reference syncs every iteration
+        # for tqdm/CER — SURVEY §3.2 flags it; float()/int() on per-step
+        # outputs would serialize host and device here too.)
+        step = int(self.state.step)  # one sync at epoch start
+        pending: list = []
         for batch in self.train_loader.epoch(epoch):
-            if prof_steps and not profiling and int(self.state.step) == prof_from:
+            if prof_steps and not profiling and step == prof_from:
                 import jax
 
                 jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
@@ -182,17 +189,18 @@ class Trainer:
                 arrays["label_lengths"],
                 self.rng,
             )
-            step = int(self.state.step)
+            step += 1
             if profiling and step >= prof_from + prof_steps:
                 import jax
 
                 jax.profiler.stop_trace()
                 profiling = False
             self.throughput.step(float(np.sum(batch.wave_lengths)) / sr)
-            acc.update(
-                {k: v for k, v in metrics.items()}, num_samples=len(batch.texts)
-            )
+            pending.append((metrics, len(batch.texts)))
             if step % cfg.log_every_iter == 0:
+                for m, n in pending:  # single blocking drain
+                    acc.update({k: float(v) for k, v in m.items()}, num_samples=n)
+                pending.clear()
                 means = acc.means()
                 loss = means.get("loss", 0.0)
                 if not math.isfinite(loss):
@@ -209,6 +217,8 @@ class Trainer:
                 self.evaluate(self.dev_loader, "dev/")
             if step % cfg.save_every_iter == 0:
                 self.save()
+        for m, n in pending:
+            acc.update({k: float(v) for k, v in m.items()}, num_samples=n)
         if profiling:
             import jax
 

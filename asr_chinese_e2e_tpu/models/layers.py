@@ -150,6 +150,32 @@ class MultiHeadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3)[:, :t].astype(self.dtype)
         return self.out_drop(self.out_proj(out), deterministic=deterministic)
 
+    def fused(self, x, lengths, deterministic: bool = True):
+        """Self-attention via the fused Pallas kernel (``ops/fused_attention``)
+        — whole-sequence-in-VMEM with IN-KERNEL weight dropout, so neither
+        the (B, H, T, T) weights nor their dropout mask ever touch HBM.
+        Enable with ``attn_impl='fused'``."""
+        import jax
+
+        from ..ops.fused_attention import fused_attention
+
+        q = self.q_proj(x)
+        k, v = self.kv(x)
+        to_bhtd = lambda a: a.transpose(0, 2, 1, 3)
+        rate = 0.0
+        seed = jnp.zeros((), jnp.int32)
+        if not deterministic and self.weight_dropout and self.dropout_rate > 0:
+            rate = float(self.dropout_rate)
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        out = fused_attention(
+            to_bhtd(q), to_bhtd(k), to_bhtd(v), lengths, seed,
+            1.0 / float(np.sqrt(self.head_dim)), rate,
+        )
+        out = out.transpose(0, 2, 1, 3)
+        return self.out_drop(self.out_proj(out), deterministic=deterministic)
+
     def step_self(self, x, cache: dict, index, bias):
         """Cached self-attention decode step. x: (B, 1, D); cache holds
         (B, Tmax, H, dk) key/value buffers; index is the write position."""

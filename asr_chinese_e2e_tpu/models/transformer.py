@@ -83,8 +83,11 @@ class EncoderLayer(nn.Module):
         self.sub2 = SubLayer(c.norm_type, self.dtype)
 
     def __call__(self, x, bias, deterministic=True, lengths=None):
-        if self.cfg.get("attn_impl", "xla") == "flash" and lengths is not None:
+        impl = self.cfg.get("attn_impl", "xla")
+        if impl == "flash" and lengths is not None:
             x = self.sub1(x, lambda y: self.attn.flash(y, lengths, deterministic))
+        elif impl == "fused" and lengths is not None:
+            x = self.sub1(x, lambda y: self.attn.fused(y, lengths, deterministic))
         else:
             x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
         return self.sub2(x, lambda y: self.ffn(y, deterministic))

@@ -1,0 +1,206 @@
+"""Fused attention Pallas kernel WITH in-kernel weight dropout.
+
+Why: with reference-parity attention-weight dropout
+(``attention.py:17``), the XLA path materialises the (B, H, T, T) weight
+tensor AND a same-shaped dropout mask in HBM every step — measured at
+~10 ms of a 52 ms flagship step on v5e. Flash attention kernels don't
+support weight dropout; this kernel does.
+
+Design (speech-length specialised): utterance buckets give T ≤ ~768, so a
+WHOLE (T, T) score tile fits VMEM — no online softmax, no KV tiling. One
+grid cell per (batch, head):
+
+- fwd: S = QK^T·scale + key-length bias → row softmax → dropout mask from
+  the on-core PRNG (seeded per (seed, b, h) — deterministic) → (W∘M) @ V.
+  Nothing but the (T, D) output leaves the core.
+- bwd (custom VJP): recomputes S/W and regenerates the SAME mask from the
+  same seed, then dV = (W∘M)^T dO, dW = (dO V^T)∘M, dS = W∘(dW − rowsum
+  (dW∘W)), dQ = dS K·scale, dK = dS^T Q·scale. No residuals beyond the
+  inputs — backward memory stays O(T·D).
+
+Falls back to interpret mode off-TPU (TPU PRNG emulated), so CPU tests
+cover the full path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret():
+    """Off-TPU, use the TPU-emulating interpreter (plain interpret mode
+    lacks the TPU PRNG primitives)."""
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams()
+
+
+def _softmax_masked(s, n):
+    """Row softmax of (T, T) scores with key-length bias; zeroes padded
+    query rows. ``n``: this row's valid length (scalar)."""
+    t = s.shape[0]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    s = s + jnp.where(kpos < n, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    return w * (qpos < n).astype(jnp.float32)
+
+
+def _keep_mask(seed_ref, rate: float, shape):
+    """Deterministic dropout keep-mask (scaled by 1/keep_prob); the same
+    (seed, b, h) always regenerates the same bits — fwd/bwd agree."""
+    # hardware seed takes at most 2 values: fold (b, h) into one
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0, 0], cell)
+    # prng_random_bits yields signed int32 — bitcast before the unsigned
+    # threshold compare or keep-prob is silently wrong
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, len_ref, seed_ref, o_ref, *, scale, rate):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    w = _softmax_masked(s, len_ref[pl.program_id(0), 0])
+    if rate > 0.0:
+        w = w * _keep_mask(seed_ref, rate, s.shape)
+    o_ref[0, 0] = jnp.dot(
+        w, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, len_ref, seed_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, rate,
+):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    w = _softmax_masked(s, len_ref[pl.program_id(0), 0])
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, rate, s.shape)
+        wd = w * keep
+    else:
+        keep = None
+        wd = w
+    dv_ref[0, 0] = jax.lax.dot_general(
+        wd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dwd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw = dwd * keep if keep is not None else dwd
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq_ref[0, 0] = (
+        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    ).astype(dk_ref.dtype)
+
+
+def _pad4(x, t_pad, d_pad):
+    return jnp.pad(
+        x, ((0, 0), (0, 0), (0, t_pad - x.shape[2]), (0, d_pad - x.shape[3]))
+    )
+
+
+def _make_specs(t_pad, d_pad, bsz):
+    qkv = pl.BlockSpec(
+        (1, 1, t_pad, d_pad), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    # SMEM blocks must equal the array dims; kernels index by program_id
+    length = pl.BlockSpec((bsz, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM)
+    seed = pl.BlockSpec((1, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM)
+    return qkv, length, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, lengths, seed, scale: float, dropout_rate: float):
+    """q/k/v: (B, H, T, D); lengths: (B,) valid positions; seed: scalar
+    int32 (vary per step for fresh dropout). Returns (B, H, T, D).
+    ``dropout_rate`` 0.0 = eval path."""
+    out, _ = _vjp_fwd(q, k, v, lengths, seed, scale, dropout_rate)
+    return out
+
+
+def _vjp_fwd(q, k, v, lengths, seed, scale, rate):
+    bsz, heads, t, d = q.shape
+    t_pad, d_pad = _round_up(t, 128), _round_up(d, 128)
+    qkv_spec, len_spec, seed_spec = _make_specs(t_pad, d_pad, bsz)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        grid=(bsz, heads),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, len_spec, seed_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, heads, t_pad, d_pad), q.dtype),
+        interpret=_interpret(),
+    )(
+        _pad4(q, t_pad, d_pad),
+        _pad4(k, t_pad, d_pad),
+        _pad4(v, t_pad, d_pad),
+        lengths.astype(jnp.int32).reshape(bsz, 1),
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+    )
+    return out[:, :, :t, :d], (q, k, v, lengths, seed)
+
+
+def _vjp_bwd(scale, rate, res, g):
+    q, k, v, lengths, seed = res
+    bsz, heads, t, d = q.shape
+    t_pad, d_pad = _round_up(t, 128), _round_up(d, 128)
+    qkv_spec, len_spec, seed_spec = _make_specs(t_pad, d_pad, bsz)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        grid=(bsz, heads),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, len_spec, seed_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((bsz, heads, t_pad, d_pad), q.dtype)
+            for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(
+        _pad4(q, t_pad, d_pad),
+        _pad4(k, t_pad, d_pad),
+        _pad4(v, t_pad, d_pad),
+        lengths.astype(jnp.int32).reshape(bsz, 1),
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        _pad4(g, t_pad, d_pad),
+    )
+    crop = lambda x: x[:, :, :t, :d]
+    return crop(dq), crop(dk), crop(dv), None, None
+
+
+fused_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -61,21 +61,39 @@ def _softmax_masked(s, n):
 
 
 def _keep_mask(seed_ref, rate: float, shape):
-    """Deterministic dropout keep-mask (scaled by 1/keep_prob); the same
-    (seed, b, h) always regenerates the same bits — fwd/bwd agree."""
-    # hardware seed takes at most 2 values: fold (b, h) into one
+    """Deterministic dropout keep-mask (scaled by 1/keep_prob).
+
+    Counter-based: murmur3-style finalizer hashed from the ELEMENT INDEX
+    plus (seed, grid cell). The hardware PRNG (pltpu.prng_random_bits)
+    is NOT used: Mosaic may assign its bit stream to vector lanes
+    differently in different kernels, so a regenerate-in-backward design
+    cannot rely on it — an index-keyed hash is bit-identical in fwd and
+    bwd by construction (and works under the CPU interpreter)."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0, 0], cell)
-    # prng_random_bits yields signed int32 — bitcast before the unsigned
-    # threshold compare or keep-prob is silently wrong
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    x = (
+        i * jnp.uint32(0x9E3779B9)
+        ^ j * jnp.uint32(0x85EBCA6B)
+        ^ (seed * jnp.uint32(0xC2B2AE35) + cell.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
     threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+    return (x >= threshold).astype(jnp.float32) / (1.0 - rate)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, len_ref, seed_ref, o_ref, *, scale, rate):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+    # keep matmul INPUTS in the storage dtype (bf16 on the fast path) and
+    # accumulate f32 on the MXU — casting inputs to f32 would force the
+    # 4x-slower f32 MXU mode
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     s = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -86,7 +104,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, len_ref, seed_ref, o_ref, *, scale, rate):
     if rate > 0.0:
         w = w * _keep_mask(seed_ref, rate, s.shape)
     o_ref[0, 0] = jnp.dot(
-        w, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32
+        w.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -94,10 +112,10 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, len_ref, seed_ref, do_ref,
     dq_ref, dk_ref, dv_ref, *, scale, rate,
 ):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
     s = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -112,19 +130,21 @@ def _bwd_kernel(
         keep = None
         wd = w
     dv_ref[0, 0] = jax.lax.dot_general(
-        wd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        wd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dwd = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     dw = dwd * keep if keep is not None else dwd
     ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    ds_low = ds.astype(q.dtype)
     dq_ref[0, 0] = (
-        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds_low, k, preferred_element_type=jnp.float32) * scale
     ).astype(dq_ref.dtype)
     dk_ref[0, 0] = (
         jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds_low, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         * scale
     ).astype(dk_ref.dtype)

@@ -77,8 +77,9 @@ def make_mesh(
     if data == -1:
         assert n % (model * seq) == 0, (n, model, seq)
         data = n // (model * seq)
-    assert data * model * seq == n, (data, model, seq, n)
-    arr = np.asarray(devices).reshape(data, model, seq)
+    want = data * model * seq
+    assert want <= n, (data, model, seq, n)
+    arr = np.asarray(devices[:want]).reshape(data, model, seq)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 

@@ -7,12 +7,13 @@ matmuls; this kernel never does:
 
 - the waveform stays in HBM; each grid step manually DMAs the (overlapping)
   sample window for a block of 128 frames into VMEM scratch;
-- framing exploits hop=160 | win=400: with the window split into 160-sample
-  chunks, frame i = [chunk_i, chunk_{i+1}, chunk_{i+2}[:80]] — three static
-  slices + concat, no gather;
-- then (frames @ cos_basis), (frames @ sin_basis) on the MXU, power, mel
-  projection, log — all fused in VMEM; only the (B, T, n_mels) log-mel
-  block is written back.
+- framing exploits hop=160 | win=400: with the window split into
+  160-sample chunks, the windowed DFT decomposes into one matmul per
+  chunk offset — frames@W = Σ_c chunks[c:c+F] @ W[c·hop:(c+1)·hop]
+  (basis zero-padded past the window) — no gather, no concat (Mosaic
+  rejects concats of offset-row slices);
+- power, mel projection, log — all fused in VMEM; only the (B, T,
+  n_mels) log-mel block is written back.
 
 Constraint: ``hop_length`` must divide ``win_length`` (400/160 → the chunk
 trick generalises to win = 2*hop + r). Falls back to interpret mode
@@ -43,29 +44,32 @@ def _kernel(wave_hbm, cos_ref, sin_ref, fb_ref, out_ref, scratch, sem, *,
             hop: int, win: int, n_chunks: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
-    block_samples = n_chunks * hop
 
-    start = j * FRAME_BLOCK * hop
+    # wave is pre-chunked to (B, S/hop, hop); DMA the 2D chunk window
+    # (Mosaic cannot shape-cast 1D->2D in-kernel)
     dma = pltpu.make_async_copy(
-        wave_hbm.at[b, pl.ds(start, block_samples)],
+        wave_hbm.at[b, pl.ds(j * FRAME_BLOCK, n_chunks), :],
         scratch,
         sem,
     )
     dma.start()
     dma.wait()
 
-    chunks = scratch[...].reshape(n_chunks, hop)
-    parts = []
-    full_chunks = win // hop
-    rem = win - full_chunks * hop
-    for c in range(full_chunks):
-        parts.append(chunks[c : c + FRAME_BLOCK, :])
-    if rem:
-        parts.append(chunks[full_chunks : full_chunks + FRAME_BLOCK, :rem])
-    frames = jnp.concatenate(parts, axis=1)  # (FRAME_BLOCK, win)
-
-    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    chunks = scratch[...]
+    n_offsets = n_chunks - FRAME_BLOCK + 1  # chunks spanned by one frame
+    f_pad = cos_ref.shape[1]
+    re = jnp.zeros((FRAME_BLOCK, f_pad), jnp.float32)
+    im = jnp.zeros((FRAME_BLOCK, f_pad), jnp.float32)
+    for c in range(n_offsets):
+        blk = chunks[c : c + FRAME_BLOCK, :]  # (F, hop), row offset c
+        re = re + jnp.dot(
+            blk, cos_ref[c * hop : (c + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
+        im = im + jnp.dot(
+            blk, sin_ref[c * hop : (c + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
     power = re * re + im * im  # (FRAME_BLOCK, n_freq_pad)
     mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(mel + LOG_EPS)
@@ -87,18 +91,23 @@ def log_mel_spectrogram_pallas(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.nda
 
     n_chunks_extra = (win + hop - 1) // hop  # chunks spanned by one frame
     block_chunks = FRAME_BLOCK + n_chunks_extra - 1
-    # pad samples so the last block's DMA stays in range
-    needed = (t_blocks * FRAME_BLOCK + n_chunks_extra - 1) * hop + hop
+    # pad samples so the last block's DMA stays in range, then pre-chunk
+    # to (B, n_chunks_total, hop) for 2D in-kernel DMA windows
+    needed = (t_blocks * FRAME_BLOCK + n_chunks_extra) * hop
     wave = jnp.pad(wave, ((0, 0), (0, max(0, needed - wave.shape[1]))))
+    wave = wave.reshape(bsz, wave.shape[1] // hop, hop)
 
     n_freqs = cfg.n_fft // 2 + 1
     f_pad = _round_up(n_freqs, LANES)
     m_pad = _round_up(cfg.n_mels, LANES)
     cos_b, sin_b = dft_basis(cfg)
-    cos_p = np.zeros((win, f_pad), np.float32)
-    cos_p[:, :n_freqs] = cos_b
-    sin_p = np.zeros((win, f_pad), np.float32)
-    sin_p[:, :n_freqs] = sin_b
+    # basis rows zero-padded past the window to n_chunks_extra*hop so the
+    # per-chunk matmul decomposition uses uniform (hop, f_pad) row blocks
+    rows = n_chunks_extra * hop
+    cos_p = np.zeros((rows, f_pad), np.float32)
+    cos_p[:win, :n_freqs] = cos_b
+    sin_p = np.zeros((rows, f_pad), np.float32)
+    sin_p[:win, :n_freqs] = sin_b
     fb = np.zeros((f_pad, m_pad), np.float32)
     fb[:n_freqs, : cfg.n_mels] = mel_filterbank(cfg)
 
@@ -125,7 +134,7 @@ def log_mel_spectrogram_pallas(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.nda
             (bsz, t_blocks * FRAME_BLOCK, m_pad), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_chunks * hop,), jnp.float32),
+            pltpu.VMEM((block_chunks, hop), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=jax.default_backend() != "tpu",

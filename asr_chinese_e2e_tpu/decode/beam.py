@@ -98,12 +98,18 @@ def beam_search(
     lengths0 = jnp.zeros((bsz, k), jnp.int32)
 
     def gather_state(state, flat_parent):
+        """Reorder ONLY the per-hypothesis ``carry`` sub-tree. The
+        ``static`` sub-tree (cross-attn caches / encoder tensors) is
+        identical across a utterance's beam slots — gathering it would
+        move GBs of HBM per step for nothing."""
         def g(x):
             if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
                 return x[flat_parent]
             return x
 
-        return jax.tree_util.tree_map(g, state)
+        return dict(
+            state, carry=jax.tree_util.tree_map(g, state["carry"])
+        )
 
     def cond(carry):
         i, _, _, finished, _, _ = carry

@@ -173,6 +173,9 @@ class LASDecoder(nn.Module):
 
     # -- cached decode ------------------------------------------------------
     def init_state(self, enc_out, enc_lengths):
+        """{"carry": per-hypothesis recurrent state (gathered on beam
+        reorder), "static": beam-invariant encoder tensors (never
+        gathered)}."""
         b = enc_out.shape[0]
         enc_proj = self.attention.project_encoder(enc_out)
         bias = jnp.where(
@@ -180,12 +183,8 @@ class LASDecoder(nn.Module):
         ).astype(jnp.float32)
         carry, align, context = self._init_carry(b, enc_out)
         return {
-            "carry": carry,
-            "align": align,
-            "context": context,
-            "enc_proj": enc_proj,
-            "enc_out": enc_out,
-            "bias": bias,
+            "carry": {"cell": carry, "align": align, "context": context},
+            "static": {"enc_proj": enc_proj, "enc_out": enc_out, "bias": bias},
         }
 
     def step(self, tokens, state, index=None):
@@ -193,14 +192,17 @@ class LASDecoder(nn.Module):
         emb = self.embed(tokens)
         carry, align, context, logits = self._one_step(
             emb,
-            state["carry"],
-            state["align"],
-            state["context"],
-            state["enc_proj"],
-            state["enc_out"],
-            state["bias"],
+            state["carry"]["cell"],
+            state["carry"]["align"],
+            state["carry"]["context"],
+            state["static"]["enc_proj"],
+            state["static"]["enc_out"],
+            state["static"]["bias"],
         )
-        new_state = dict(state, carry=carry, align=align, context=context)
+        new_state = {
+            "carry": {"cell": carry, "align": align, "context": context},
+            "static": state["static"],
+        }
         return jax.nn.log_softmax(logits, axis=-1), new_state
 
 

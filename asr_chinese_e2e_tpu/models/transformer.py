@@ -217,17 +217,19 @@ class Decoder(nn.Module):
 
     # -- cached autoregressive decoding -------------------------------------
     def init_state(self, enc_out, enc_lengths, batch: int, max_len: int):
-        """Build decode state: per-layer self k/v buffers + precomputed
-        cross k/v. ``batch`` may be B*beam (enc_out already expanded)."""
+        """Build decode state: {"carry": per-hypothesis state the beam must
+        GATHER when reordering (self-attn k/v), "static": beam-invariant
+        tensors (cross k/v, cross bias) the beam must NOT gather — they are
+        identical across a utterance's hypotheses and re-gathering them
+        costs GBs of HBM traffic per step. ``batch`` may be B*beam."""
         self_caches = [
             l.self_attn.make_cache(batch, max_len) for l in self.layers
         ]
         cross_caches = [l.make_cross_cache(enc_out) for l in self.layers]
         cross_bias = padding_bias(enc_lengths, enc_out.shape[1])
         return {
-            "self": self_caches,
-            "cross": cross_caches,
-            "cross_bias": cross_bias,
+            "carry": {"self": self_caches},
+            "static": {"cross": cross_caches, "cross_bias": cross_bias},
         }
 
     def step(self, tokens, state, index):
@@ -237,17 +239,19 @@ class Decoder(nn.Module):
         table = jnp.asarray(sinusoid_table(self.pe.max_len, self.cfg.d_model))
         x = x + table[index][None, None].astype(x.dtype)
         # self-attn bias over cache positions: allow j <= index
-        max_len = state["self"][0]["k"].shape[1]  # static cache length
+        self_caches = state["carry"]["self"]
+        max_len = self_caches[0]["k"].shape[1]  # static cache length
         pos = jnp.arange(max_len)[None, None, None, :]
         self_bias = jnp.where(pos <= index, 0.0, NEG_INF)
         new_self = []
-        for layer, sc, cc in zip(self.layers, state["self"], state["cross"]):
-            x, nsc = layer.step(x, sc, cc, index, self_bias, state["cross_bias"])
+        cross_bias = state["static"]["cross_bias"]
+        for layer, sc, cc in zip(self.layers, self_caches, state["static"]["cross"]):
+            x, nsc = layer.step(x, sc, cc, index, self_bias, cross_bias)
             new_self.append(nsc)
         if self.final_norm is not None:
             x = self.final_norm(x)
         logits = self._project(x)[:, 0]
-        new_state = dict(state, **{"self": new_self})
+        new_state = {"carry": {"self": new_self}, "static": state["static"]}
         return jax.nn.log_softmax(logits, axis=-1), new_state
 
 

@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(wave_hbm, cos_ref, sin_ref, fb_ref, out_ref, scratch, sem, *,
-            hop: int, win: int, n_chunks: int):
+            chunk_lane: int, n_chunks: int, n_offsets: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -56,18 +56,17 @@ def _kernel(wave_hbm, cos_ref, sin_ref, fb_ref, out_ref, scratch, sem, *,
     dma.wait()
 
     chunks = scratch[...]
-    n_offsets = n_chunks - FRAME_BLOCK + 1  # chunks spanned by one frame
     f_pad = cos_ref.shape[1]
     re = jnp.zeros((FRAME_BLOCK, f_pad), jnp.float32)
     im = jnp.zeros((FRAME_BLOCK, f_pad), jnp.float32)
     for c in range(n_offsets):
-        blk = chunks[c : c + FRAME_BLOCK, :]  # (F, hop), row offset c
+        blk = chunks[c : c + FRAME_BLOCK, :]  # (F, chunk_lane), row offset c
         re = re + jnp.dot(
-            blk, cos_ref[c * hop : (c + 1) * hop, :],
+            blk, cos_ref[c * chunk_lane : (c + 1) * chunk_lane, :],
             preferred_element_type=jnp.float32,
         )
         im = im + jnp.dot(
-            blk, sin_ref[c * hop : (c + 1) * hop, :],
+            blk, sin_ref[c * chunk_lane : (c + 1) * chunk_lane, :],
             preferred_element_type=jnp.float32,
         )
     power = re * re + im * im  # (FRAME_BLOCK, n_freq_pad)
@@ -90,24 +89,31 @@ def log_mel_spectrogram_pallas(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.nda
     t_blocks = _round_up(n_frames, FRAME_BLOCK) // FRAME_BLOCK
 
     n_chunks_extra = (win + hop - 1) // hop  # chunks spanned by one frame
-    block_chunks = FRAME_BLOCK + n_chunks_extra - 1
+    # DMA slice length on the chunk (sublane) dim must be 8-aligned
+    block_chunks = _round_up(FRAME_BLOCK + n_chunks_extra - 1, 8)
     # pad samples so the last block's DMA stays in range, then pre-chunk
     # to (B, n_chunks_total, hop) for 2D in-kernel DMA windows
-    needed = (t_blocks * FRAME_BLOCK + n_chunks_extra) * hop
+    needed = ((t_blocks - 1) * FRAME_BLOCK + block_chunks) * hop
     wave = jnp.pad(wave, ((0, 0), (0, max(0, needed - wave.shape[1]))))
+    # chunk rows padded to a 128-aligned lane width (Mosaic slice rule);
+    # the matching basis blocks are zero there so the matmuls are exact
+    chunk_lane = _round_up(hop, LANES)
     wave = wave.reshape(bsz, wave.shape[1] // hop, hop)
+    wave = jnp.pad(wave, ((0, 0), (0, 0), (0, chunk_lane - hop)))
 
     n_freqs = cfg.n_fft // 2 + 1
     f_pad = _round_up(n_freqs, LANES)
     m_pad = _round_up(cfg.n_mels, LANES)
     cos_b, sin_b = dft_basis(cfg)
-    # basis rows zero-padded past the window to n_chunks_extra*hop so the
-    # per-chunk matmul decomposition uses uniform (hop, f_pad) row blocks
-    rows = n_chunks_extra * hop
+    # basis laid out in per-offset blocks of chunk_lane rows: block c rows
+    # [0, hop) hold W[c*hop : c*hop+hop] (clipped at win), rest zero
+    rows = n_chunks_extra * chunk_lane
     cos_p = np.zeros((rows, f_pad), np.float32)
-    cos_p[:win, :n_freqs] = cos_b
     sin_p = np.zeros((rows, f_pad), np.float32)
-    sin_p[:win, :n_freqs] = sin_b
+    for c in range(n_chunks_extra):
+        lo, hi = c * hop, min((c + 1) * hop, win)
+        cos_p[c * chunk_lane : c * chunk_lane + (hi - lo), :n_freqs] = cos_b[lo:hi]
+        sin_p[c * chunk_lane : c * chunk_lane + (hi - lo), :n_freqs] = sin_b[lo:hi]
     fb = np.zeros((f_pad, m_pad), np.float32)
     fb[:n_freqs, : cfg.n_mels] = mel_filterbank(cfg)
 
@@ -116,7 +122,8 @@ def log_mel_spectrogram_pallas(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.nda
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, hop=hop, win=win, n_chunks=block_chunks
+            _kernel, chunk_lane=chunk_lane, n_chunks=block_chunks,
+            n_offsets=n_chunks_extra
         ),
         grid=(bsz, t_blocks),
         in_specs=[
@@ -134,7 +141,7 @@ def log_mel_spectrogram_pallas(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.nda
             (bsz, t_blocks * FRAME_BLOCK, m_pad), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_chunks, hop), jnp.float32),
+            pltpu.VMEM((block_chunks, chunk_lane), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=jax.default_backend() != "tpu",

@@ -26,6 +26,7 @@ n-best extraction and (optional) length-normalised sorting mirror
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import jax
@@ -79,9 +80,40 @@ def beam_search(
 
     ``length_penalty`` > 0 applies GNMT-style normalisation at the final
     sort (the reference sorts by raw score, ``transformer_official.py:429``;
-    0.0 reproduces that)."""
+    0.0 reproduces that). The whole search is one jitted program per
+    (model instance, beam_size, max_len) — repeat calls skip Python
+    retracing (which costs seconds per call through a deep decoder)."""
+    key = (id(model), beam_size, max_len, length_penalty)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            functools.partial(
+                _beam_search_impl,
+                model,
+                beam_size=beam_size,
+                max_len=max_len,
+                length_penalty=length_penalty,
+            )
+        )
+        _JIT_CACHE[key] = fn
+    tokens, scores, finished = fn(params, enc_out, enc_lengths)
+    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
+
+
+_JIT_CACHE: dict = {}
+
+
+def _beam_search_impl(
+    model,
+    params,
+    enc_out: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    *,
+    beam_size: int,
+    max_len: int,
+    length_penalty: float = 0.0,
+):
     bsz, k = enc_out.shape[0], beam_size
-    vocab = None  # discovered from the first step
 
     enc_out_x = _expand_for_beams(enc_out, k)
     enc_len_x = _expand_for_beams(enc_lengths, k)
@@ -157,4 +189,4 @@ def beam_search(
     scores = jnp.take_along_axis(sort_scores, order, axis=1)
     tokens = jnp.take_along_axis(tokens[:, :, 1:], order[:, :, None], axis=1)
     finished = jnp.take_along_axis(finished, order, axis=1)
-    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
+    return tokens, scores, finished

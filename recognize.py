@@ -68,6 +68,7 @@ def recognize(
     max_seconds: float = 15.0,
     ctc_weight: float = 0.3,
     length_penalty: float = 0.0,
+    ctc_beam_impl: str = "device",  # on-chip prefix beam (host = exact ref)
     out: str = None,
     **_,
 ):
@@ -111,9 +112,20 @@ def recognize(
                 )
         elif mode == "rescore":
             lp = model.apply(params, enc_out, method="ctc_log_probs")
-            ctc_nbest = ctc_prefix_beam_batch(
-                np.asarray(lp), np.asarray(enc_lens), beam_size
-            )
+            if ctc_beam_impl == "device":
+                from asr_chinese_e2e_tpu.decode.ctc_prefix_device import (
+                    ctc_prefix_beam_device,
+                    device_nbest_to_lists,
+                )
+
+                pref, plen, sc = ctc_prefix_beam_device(
+                    lp, enc_lens, beam_size=beam_size
+                )
+                ctc_nbest = device_nbest_to_lists(pref, plen, sc)
+            else:
+                ctc_nbest = ctc_prefix_beam_batch(
+                    np.asarray(lp), np.asarray(enc_lens), beam_size
+                )
             best = attention_rescore(
                 model, params, enc_out, enc_lens, ctc_nbest, ctc_weight
             )

@@ -93,6 +93,34 @@ def ctc_prefix_beam_batch(
     ]
 
 
+_JIT_CACHE: dict = {}
+
+
+def _rescore_scores(model, params, labels, label_lengths, enc, enc_lens):
+    """Jitted per model instance: teacher-forced log-prob of each padded
+    hypothesis (summed over non-PAD target positions)."""
+    import functools
+
+    import jax
+
+    key = id(model)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def impl(params, labels, label_lengths, enc, enc_lens):
+            ys_in, ys_out = preprocess_targets(labels, label_lengths)
+            logits = model.apply(
+                params, ys_in, label_lengths + 1, enc, enc_lens,
+                method="decode_logits",
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(logp, ys_out[..., None], -1)[..., 0]
+            return jnp.sum(tok_lp * (ys_out != 0), axis=1)
+
+        fn = jax.jit(impl)
+        _JIT_CACHE[key] = fn
+    return fn(params, labels, label_lengths, enc, enc_lens)
+
+
 def attention_rescore(
     model,
     params,
@@ -122,23 +150,16 @@ def attention_rescore(
         label_lengths[i] = len(prefix)
     batch_idx = np.asarray([b for b, _, _ in pairs])
 
-    ys_in, ys_out = preprocess_targets(
-        jnp.asarray(labels), jnp.asarray(label_lengths)
+    att_scores = np.asarray(
+        _rescore_scores(
+            model,
+            params,
+            jnp.asarray(labels),
+            jnp.asarray(label_lengths),
+            enc_out[batch_idx],
+            enc_lengths[batch_idx],
+        )
     )
-    logits = model.apply(
-        params,
-        ys_in,
-        jnp.asarray(label_lengths + 1),
-        enc_out[batch_idx],
-        enc_lengths[batch_idx],
-        method="decode_logits",
-    )
-    import jax
-
-    full_logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
-    tok_lp = np.take_along_axis(full_logp, np.asarray(ys_out)[..., None], -1)[..., 0]
-    valid = np.asarray(ys_out) != 0
-    att_scores = (tok_lp * valid).sum(axis=1)
 
     best: List[List[int]] = [[] for _ in range(enc_out.shape[0])]
     best_score = [-np.inf] * enc_out.shape[0]

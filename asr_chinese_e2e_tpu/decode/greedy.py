@@ -37,11 +37,28 @@ def ctc_greedy_decode(
     return out
 
 
+_JIT_CACHE: dict = {}
+
+
 def attention_greedy_decode(model, params, enc_out, enc_lengths, max_len: int):
     """Autoregressive argmax decode with the cached step path.
 
     Returns (tokens (B, max_len) int32 — EOS-terminated, PAD after; and
-    scores (B,) summed log-probs)."""
+    scores (B,) summed log-probs). Jitted per (model, max_len) — repeat
+    calls skip Python retracing."""
+    key = (id(model), max_len)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(
+            functools.partial(_greedy_impl, model, max_len=max_len)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(params, enc_out, enc_lengths)
+
+
+def _greedy_impl(model, params, enc_out, enc_lengths, *, max_len: int):
     bsz = enc_out.shape[0]
     state = model.apply(
         params, enc_out, enc_lengths, max_len + 1, method="init_decode_state"

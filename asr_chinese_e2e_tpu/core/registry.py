@@ -8,7 +8,7 @@ to their equivalents here so reference CLI invocations keep working.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple, Type
+from typing import Callable, Tuple
 
 from .config import Config
 

@@ -20,7 +20,7 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.vocab import BLANK_ID, EOS_ID
+from ..data.vocab import BLANK_ID
 from ..models.transformer import preprocess_targets
 
 LOG_ZERO = -1e30
@@ -99,8 +99,6 @@ _JIT_CACHE: dict = {}
 def _rescore_scores(model, params, labels, label_lengths, enc, enc_lens):
     """Jitted per model instance: teacher-forced log-prob of each padded
     hypothesis (summed over non-PAD target positions)."""
-    import functools
-
     import jax
 
     key = id(model)

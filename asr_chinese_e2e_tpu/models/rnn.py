@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import Config
-from ..data.vocab import BOS_ID, EOS_ID
 from ..ops.masks import NEG_INF, length_mask
 from .transformer import preprocess_targets
 

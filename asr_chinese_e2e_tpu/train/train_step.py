@@ -21,7 +21,7 @@ TPU-first design:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

@@ -33,7 +33,7 @@ from ..core.config import Config
 from ..data.batching import Batch, BucketedLoader
 from ..data.features import FeatureConfig
 from ..decode.cer import batch_cer_from_ids
-from ..parallel.sharding import batch_sharding, replicated
+from ..parallel.sharding import replicated
 from .checkpoint import CheckpointManager
 from .metrics import MetricsAccumulator, ScalarWriter, ThroughputMeter
 from .optimizer import current_lr
@@ -89,8 +89,6 @@ class Trainer:
         self._eval_decode = cfg.get("eval_decode", "none")
         self._encode_fn = None
         if self._eval_decode != "none":
-            import jax.numpy as jnp
-
             from ..data.features import parse_batch
 
             def encode(params, wave, wave_lengths):

@@ -67,6 +67,29 @@ def _expand_for_beams(x: jnp.ndarray, beam: int) -> jnp.ndarray:
     return jnp.repeat(x, beam, axis=0)
 
 
+def _pin_cache_layouts(carry_state):
+    """Pin the (B·K, H, L, d) self-KV cache leaves of the while-loop carry
+    to the layout the decode attention ops use (major-to-minor b, L, h, d).
+
+    Without this, XLA's while-loop layout assignment picks a batch-
+    minormost carry layout and inserts strided layout-conversion copies of
+    every cache on BOTH sides of every iteration — profiled at ~60% of
+    beam-search step time on v5e."""
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+    except ImportError:  # older jax: skip the hint
+        return carry_state
+
+    def pin(x):
+        if isinstance(x, jnp.ndarray) and x.ndim == 4:
+            return with_layout_constraint(
+                x, Layout(major_to_minor=(0, 2, 1, 3))
+            )
+        return x
+
+    return jax.tree_util.tree_map(pin, carry_state)
+
+
 def beam_search(
     model,
     params,
@@ -75,6 +98,7 @@ def beam_search(
     beam_size: int,
     max_len: int,
     length_penalty: float = 0.0,
+    lazy: str | bool = "auto",
 ) -> BeamResult:
     """Batched attention beam search.
 
@@ -82,8 +106,16 @@ def beam_search(
     sort (the reference sorts by raw score, ``transformer_official.py:429``;
     0.0 reproduces that). The whole search is one jitted program per
     (model instance, beam_size, max_len) — repeat calls skip Python
-    retracing (which costs seconds per call through a deep decoder)."""
-    key = (id(model), beam_size, max_len, length_penalty)
+    retracing (which costs seconds per call through a deep decoder).
+
+    ``lazy`` selects cache reordering on beam reselection: ``True`` keeps
+    the self-KV caches unpermuted and routes via a (B, K, L) ancestry map
+    inside attention (``decode_step_lazy`` — skips the HBM-bound cache
+    gather); ``False`` physically gathers the carry sub-tree; ``"auto"``
+    uses lazy when the model supports it. Both produce identical beams."""
+    if lazy == "auto":
+        lazy = hasattr(model, "decode_step_lazy")
+    key = (id(model), beam_size, max_len, length_penalty, lazy)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -93,6 +125,7 @@ def beam_search(
                 beam_size=beam_size,
                 max_len=max_len,
                 length_penalty=length_penalty,
+                lazy=lazy,
             )
         )
         _JIT_CACHE[key] = fn
@@ -112,14 +145,23 @@ def _beam_search_impl(
     beam_size: int,
     max_len: int,
     length_penalty: float = 0.0,
+    lazy: bool = False,
 ):
     bsz, k = enc_out.shape[0], beam_size
 
-    enc_out_x = _expand_for_beams(enc_out, k)
-    enc_len_x = _expand_for_beams(enc_lengths, k)
-    state = model.apply(
-        params, enc_out_x, enc_len_x, max_len + 1, method="init_decode_state"
-    )
+    if getattr(model, "FOLD_BEAM_CROSS", False):
+        # cross K/V stay one-row-per-utterance; the beam folds into the
+        # query inside step_cross (saves ~K x the cross-cache HBM reads)
+        state = model.apply(
+            params, enc_out, enc_lengths, max_len + 1, k,
+            method="init_decode_state",
+        )
+    else:
+        enc_out_x = _expand_for_beams(enc_out, k)
+        enc_len_x = _expand_for_beams(enc_lengths, k)
+        state = model.apply(
+            params, enc_out_x, enc_len_x, max_len + 1, method="init_decode_state"
+        )
 
     tokens0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32).at[:, :, 0].set(BOS_ID)
     # only beam slot 0 is live initially (all slots hold identical BOS)
@@ -129,28 +171,43 @@ def _beam_search_impl(
     finished0 = jnp.zeros((bsz, k), bool)
     lengths0 = jnp.zeros((bsz, k), jnp.int32)
 
-    def gather_state(state, flat_parent):
-        """Reorder ONLY the per-hypothesis ``carry`` sub-tree. The
-        ``static`` sub-tree (cross-attn caches / encoder tensors) is
-        identical across a utterance's beam slots — gathering it would
-        move GBs of HBM per step for nothing."""
+    # the beam-invariant sub-tree (cross K/V, cross bias) is a CLOSURE
+    # constant of the loop body, not part of the while carry — XLA hoists
+    # it once instead of threading (and potentially double-buffering) it
+    # through every iteration
+    static = state["static"]
+    carry_state0 = _pin_cache_layouts(state["carry"])
+
+    def gather_carry(carry_state, flat_parent):
+        """Reorder ONLY the per-hypothesis ``carry`` sub-tree. The static
+        sub-tree is identical across a utterance's beam slots — gathering
+        it would move GBs of HBM per step for nothing."""
         def g(x):
             if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
                 return x[flat_parent]
             return x
 
-        return dict(
-            state, carry=jax.tree_util.tree_map(g, state["carry"])
-        )
+        return jax.tree_util.tree_map(g, carry_state)
 
     def cond(carry):
-        i, _, _, finished, _, _ = carry
+        i, _, _, finished, _, _, _ = carry
         return (i < max_len) & ~jnp.all(finished)
 
     def body(carry):
-        i, tokens, scores, finished, lengths, state = carry
+        i, tokens, scores, finished, lengths, carry_state, anc = carry
         last = tokens[:, :, i].reshape(bsz * k)
-        logp, state = model.apply(params, last, state, i, method="decode_step")
+        state = {"carry": carry_state, "static": static}
+        if lazy:
+            # position i's KV is written by each slot itself
+            anc = anc.at[:, :, i].set(jnp.arange(k, dtype=jnp.int32)[None])
+            logp, state = model.apply(
+                params, last, state, i, anc, method="decode_step_lazy"
+            )
+        else:
+            logp, state = model.apply(params, last, state, i, method="decode_step")
+        # pin the loop-output layout too, so the while carry settles on the
+        # compute layout instead of inserting per-iteration conversions
+        carry_state = _pin_cache_layouts(state["carry"])
         v = logp.shape[-1]
         logp = logp.reshape(bsz, k, v)
         # finished hyps: only EOS allowed, at zero cost (score frozen)
@@ -162,10 +219,14 @@ def _beam_search_impl(
         parent = top_idx // v  # (B, K)
         token = (top_idx % v).astype(jnp.int32)
 
-        flat_parent = (
-            jnp.arange(bsz)[:, None] * k + parent
-        ).reshape(bsz * k)
-        state = gather_state(state, flat_parent)
+        if lazy:
+            # reorder ONLY the tiny ancestry map; caches stay in place
+            anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        else:
+            flat_parent = (
+                jnp.arange(bsz)[:, None] * k + parent
+            ).reshape(bsz * k)
+            carry_state = gather_carry(carry_state, flat_parent)
         tokens = jnp.take_along_axis(
             tokens, parent[:, :, None], axis=1
         ).at[:, :, i + 1].set(token)
@@ -173,10 +234,15 @@ def _beam_search_impl(
         lengths = jnp.take_along_axis(lengths, parent, axis=1)
         lengths = jnp.where(was_finished, lengths, lengths + 1)
         finished = was_finished | (token == EOS_ID)
-        return (i + 1, tokens, top_scores, finished, lengths, state)
+        return (i + 1, tokens, top_scores, finished, lengths, carry_state, anc)
 
-    carry = (jnp.asarray(0), tokens0, scores0, finished0, lengths0, state)
-    _, tokens, scores, finished, lengths, _ = jax.lax.while_loop(cond, body, carry)
+    anc0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32)
+    carry = (
+        jnp.asarray(0), tokens0, scores0, finished0, lengths0, carry_state0, anc0
+    )
+    _, tokens, scores, finished, lengths, _, _ = jax.lax.while_loop(
+        cond, body, carry
+    )
 
     # force-EOS semantics at maxlen: unfinished hyps are truncated (their
     # raw scores already reflect max_len tokens)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,9 +156,8 @@ class MultiHeadAttention(nn.Module):
         — whole-sequence-in-VMEM with IN-KERNEL weight dropout, so neither
         the (B, H, T, T) weights nor their dropout mask ever touch HBM.
         Enable with ``attn_impl='fused'``."""
-        import jax
-
-        from ..ops.fused_attention import fused_attention
+        from ..ops.fused_attention import fused_attention, fused_attention_sharded
+        from ..parallel.context import get_active_mesh
 
         q = self.q_proj(x)
         k, v = self.kv(x)
@@ -169,30 +169,128 @@ class MultiHeadAttention(nn.Module):
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
             )
-        out = fused_attention(
-            to_bhtd(q), to_bhtd(k), to_bhtd(v), lengths, seed,
-            1.0 / float(np.sqrt(self.head_dim)), rate,
-        )
+        mesh = get_active_mesh()
+        if mesh is not None:
+            out = fused_attention_sharded(
+                mesh, to_bhtd(q), to_bhtd(k), to_bhtd(v), lengths, seed,
+                1.0 / float(np.sqrt(self.head_dim)), rate,
+            )
+        else:
+            out = fused_attention(
+                to_bhtd(q), to_bhtd(k), to_bhtd(v), lengths, seed,
+                1.0 / float(np.sqrt(self.head_dim)), rate,
+            )
         out = out.transpose(0, 2, 1, 3)
         return self.out_drop(self.out_proj(out), deterministic=deterministic)
 
     def step_self(self, x, cache: dict, index, bias):
         """Cached self-attention decode step. x: (B, 1, D); cache holds
-        (B, Tmax, H, dk) key/value buffers; index is the write position."""
-        q = self.q_proj(x)
+        HEADS-MAJOR (B, H, Tmax, dk) key/value buffers; index is the write
+        position. Heads-major matters: the attention einsums consume the
+        cache directly, so the decode loop performs no per-step layout
+        copies (profiled at ~60%% of beam-search step time in the
+        time-major layout)."""
+        q = self.q_proj(x)  # (B, 1, H, d)
         k_new, v_new = self.kv(x)
-        k = cache["k"].at[:, index].set(k_new[:, 0])
-        v = cache["v"].at[:, index].set(v_new[:, 0])
-        out = self._attend(q, k, v, bias, True)
-        return out, {"k": k, "v": v}
+        kc = cache["k"].at[:, :, index].set(k_new[:, 0])
+        vc = cache["v"].at[:, :, index].set(v_new[:, 0])
+        scale = 1.0 / np.sqrt(self.head_dim)
+        s = (
+            jnp.einsum(
+                "bqhd,bhtd->bhqt", q, kc, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if bias is not None:
+            s = s + bias
+        w = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqt,bhtd->bqhd", w, vc)
+        out = self.out_drop(self.out_proj(out), deterministic=True)
+        return out, {"k": kc, "v": vc}
+
+    def step_self_lazy(self, x, cache: dict, index, anc, bias):
+        """Lazy-beam-reorder cached self-attention step.
+
+        Beam search must re-associate each hypothesis with its ancestor's
+        KV history after every top-k reselection. Physically gathering the
+        (B·K, L, H, d) cache per layer per step is HBM-bound (measured
+        5.9 ms at B·K=640 on v5e). Instead the cache stays UNPERMUTED —
+        each slot holds whatever hypothesis occupied it when position t
+        was written — and ``anc`` (B, K, L) int32 records, for the
+        hypothesis now in slot k, which slot's cache holds its position-t
+        entry. Attention computes scores against ALL K slots' caches
+        (K× more MXU FLOPs — microseconds) and selects the ancestor's row
+        with a one-hot einsum, so the only reorder cost is a (B, K, L)
+        int gather in the beam loop.
+
+        x: (B·K, 1, D) in beam-slot order; bias: additive, broadcastable
+        to (B, H, K, L) (e.g. the (1,1,1,L) causal position bias).
+        """
+        b, k_beam, l = anc.shape
+        q = self.q_proj(x)  # (B·K, 1, H, d)
+        k_new, v_new = self.kv(x)
+        kc = cache["k"].at[:, :, index].set(k_new[:, 0])  # (B·K, H, L, d)
+        vc = cache["v"].at[:, :, index].set(v_new[:, 0])
+        h, dk = self.num_heads, self.head_dim
+        qb = q.reshape(b, k_beam, h, dk)
+        kb = kc.reshape(b, k_beam, h, l, dk)
+        vb = vc.reshape(b, k_beam, h, l, dk)
+        scale = 1.0 / np.sqrt(self.head_dim)
+        # scores of every hypothesis i against every slot j's cache
+        s_all = (
+            jnp.einsum(
+                "bihd,bjhtd->bhijt", qb, kb,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (B, H, K, K, L)
+        sel = jax.nn.one_hot(anc, k_beam, dtype=s_all.dtype)  # (B, K, L, K)
+        s = jnp.einsum("bhijt,bitj->bhit", s_all, sel) + bias  # (B, H, K, L)
+        w = jax.nn.softmax(s, axis=-1)
+        # route each weight back to its ancestor slot's V row
+        wsel = (
+            w[:, :, :, None, :] * sel.transpose(0, 1, 3, 2)[:, None]
+        ).astype(self.dtype)  # (B, H, K, K, L)
+        out = jnp.einsum("bhijt,bjhtd->bihd", wsel, vb)
+        out = out.reshape(b * k_beam, 1, h, dk)
+        out = self.out_drop(self.out_proj(out), deterministic=True)
+        return out, {"k": kc, "v": vc}
 
     def step_cross(self, x, cache: dict, bias):
-        """Cross-attention decode step against precomputed enc k/v."""
-        q = self.q_proj(x)
-        return self._attend(q, cache["k"], cache["v"], bias, True)
+        """Cross-attention decode step against precomputed enc k/v.
+
+        Beam-folded: the cache may hold ONE row per utterance (B, T, H, d)
+        while queries arrive per hypothesis (B·K, 1, D) — the K/V rows are
+        identical across a utterance's beam slots, so replicating them ×K
+        (and re-reading ~2 GB of HBM per flagship decode step) is pure
+        waste. When the row counts differ, the beam dim folds into the
+        query: (B, K) queries attend shared (B, T) keys."""
+        q = self.q_proj(x)  # (B*K, 1, H, d)
+        kc, vc = cache["k"], cache["v"]
+        k_beam = q.shape[0] // kc.shape[0]
+        if k_beam == 1:
+            return self._attend(q, kc, vc, bias, True)
+        b = kc.shape[0]
+        h, dk = self.num_heads, self.head_dim
+        qb = q.reshape(b, k_beam, h, dk)
+        scale = 1.0 / np.sqrt(self.head_dim)
+        s = (
+            jnp.einsum(
+                "bkhd,bthd->bhkt", qb, kc, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if bias is not None:
+            s = s + bias  # (B, 1, 1, T) broadcasts over (B, H, K, T)
+        w = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhkt,bthd->bkhd", w, vc)
+        out = out.reshape(b * k_beam, 1, h, dk)
+        return self.out_drop(self.out_proj(out), deterministic=True)
 
     def make_cache(self, batch: int, max_len: int):
-        shape = (batch, max_len, self.num_heads, self.head_dim)
+        # heads-major (B, H, T, d): the layout the decode einsums consume,
+        # so the while-loop carry needs no per-step layout copies
+        shape = (batch, self.num_heads, max_len, self.head_dim)
         return {
             "k": jnp.zeros(shape, self.dtype),
             "v": jnp.zeros(shape, self.dtype),

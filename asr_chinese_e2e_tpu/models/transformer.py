@@ -106,8 +106,14 @@ class Encoder(nn.Module):
             self.input_norm = nn.LayerNorm(dtype=self.dtype)
         self.pe = PositionalEncoding(c.d_model)
         self.dropout = nn.Dropout(c.dropout_rate)
+        layer_cls = EncoderLayer
+        if c.get("remat", False):
+            # rematerialize layer activations in backward (jax.checkpoint):
+            # trades ~30% more encoder FLOPs for O(layers) less activation
+            # memory — the deep-encoder / long-utterance / big-batch knob
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         self.layers = [
-            EncoderLayer(c, self.dtype, name=f"layer{i}")
+            layer_cls(c, self.dtype, name=f"layer{i}")
             for i in range(c.num_encoder_layers)
         ]
         self.final_norm = (
@@ -128,7 +134,7 @@ class Encoder(nn.Module):
 
             bias = bias + banded_bias(x.shape[1], c.attention_band)
         for layer in self.layers:
-            x = layer(x, bias, deterministic, lengths=feat_lengths)
+            x = layer(x, bias, deterministic, feat_lengths)
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x, feat_lengths
@@ -172,6 +178,21 @@ class DecoderLayer(nn.Module):
         x = self.sub3(x, lambda y: self.ffn(y, True))
         return x, new_self
 
+    def step_lazy(self, x, self_cache, cross_cache, index, anc, self_bias, cross_bias):
+        """Like ``step`` but with lazy beam reorder: the self-attn cache is
+        left unpermuted and ``anc`` routes each hypothesis to its ancestor's
+        cache rows (see ``MultiHeadAttention.step_self_lazy``)."""
+        x, new_self = self.sub1(
+            x,
+            lambda y: self.self_attn.step_self_lazy(
+                y, self_cache, index, anc, self_bias
+            ),
+            has_aux=True,
+        )
+        x = self.sub2(x, lambda y: self.cross_attn.step_cross(y, cross_cache, cross_bias))
+        x = self.sub3(x, lambda y: self.ffn(y, True))
+        return x, new_self
+
     def make_cross_cache(self, enc_out):
         k, v = self.cross_attn.kv(enc_out)
         return {"k": k, "v": v}
@@ -187,8 +208,11 @@ class Decoder(nn.Module):
         self.embed = nn.Embed(self.vocab_size, c.d_model, dtype=self.dtype)
         self.pe = PositionalEncoding(c.d_model)
         self.dropout = nn.Dropout(c.dropout_rate)
+        layer_cls = DecoderLayer
+        if c.get("remat", False):
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(5,))
         self.layers = [
-            DecoderLayer(c, self.dtype, name=f"layer{i}")
+            layer_cls(c, self.dtype, name=f"layer{i}")
             for i in range(c.num_decoder_layers)
         ]
         self.final_norm = (
@@ -240,13 +264,35 @@ class Decoder(nn.Module):
         x = x + table[index][None, None].astype(x.dtype)
         # self-attn bias over cache positions: allow j <= index
         self_caches = state["carry"]["self"]
-        max_len = self_caches[0]["k"].shape[1]  # static cache length
+        max_len = self_caches[0]["k"].shape[2]  # static cache length (B, H, T, d)
         pos = jnp.arange(max_len)[None, None, None, :]
         self_bias = jnp.where(pos <= index, 0.0, NEG_INF)
         new_self = []
         cross_bias = state["static"]["cross_bias"]
         for layer, sc, cc in zip(self.layers, self_caches, state["static"]["cross"]):
             x, nsc = layer.step(x, sc, cc, index, self_bias, cross_bias)
+            new_self.append(nsc)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        logits = self._project(x)[:, 0]
+        new_state = {"carry": {"self": new_self}, "static": state["static"]}
+        return jax.nn.log_softmax(logits, axis=-1), new_state
+
+    def step_lazy(self, tokens, state, index, anc):
+        """One decode step with lazy beam reorder. tokens: (B·K,) int32;
+        anc: (B, K, Lmax) ancestry map (see ``step_self_lazy``). The beam
+        loop never gathers the self caches — it only permutes ``anc``."""
+        x = self._embed_scaled(tokens[:, None])
+        table = jnp.asarray(sinusoid_table(self.pe.max_len, self.cfg.d_model))
+        x = x + table[index][None, None].astype(x.dtype)
+        self_caches = state["carry"]["self"]
+        max_len = self_caches[0]["k"].shape[2]
+        pos = jnp.arange(max_len)[None, None, None, :]
+        self_bias = jnp.where(pos <= index, 0.0, NEG_INF)
+        new_self = []
+        cross_bias = state["static"]["cross_bias"]
+        for layer, sc, cc in zip(self.layers, self_caches, state["static"]["cross"]):
+            x, nsc = layer.step_lazy(x, sc, cc, index, anc, self_bias, cross_bias)
             new_self.append(nsc)
         if self.final_norm is not None:
             x = self.final_norm(x)
@@ -317,11 +363,23 @@ class SpeechTransformer(nn.Module):
         correctness oracle for the cached path)."""
         return self.decoder(ys_in, ys_in_lengths, enc_out, enc_lengths, True)
 
-    def init_decode_state(self, enc_out, enc_lengths, max_len: int):
-        return self.decoder.init_state(enc_out, enc_lengths, enc_out.shape[0], max_len)
+    # beam search may keep cross K/V at one row per utterance and fold the
+    # beam dim into queries (see MultiHeadAttention.step_cross)
+    FOLD_BEAM_CROSS = True
+
+    def init_decode_state(self, enc_out, enc_lengths, max_len: int, beam: int = 1):
+        """Decode state for ``enc_out.shape[0] * beam`` hypothesis rows.
+        Cross K/V stay un-expanded (beam-invariant); self caches are per
+        hypothesis."""
+        return self.decoder.init_state(
+            enc_out, enc_lengths, enc_out.shape[0] * beam, max_len
+        )
 
     def decode_step(self, tokens, state, index):
         return self.decoder.step(tokens, state, index)
+
+    def decode_step_lazy(self, tokens, state, index, anc):
+        return self.decoder.step_lazy(tokens, state, index, anc)
 
     def ctc_log_probs(self, enc_out):
         return jax.nn.log_softmax(self.ctc_head(enc_out).astype(jnp.float32), -1)

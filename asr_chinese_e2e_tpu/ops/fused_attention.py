@@ -223,3 +223,62 @@ def _vjp_bwd(scale, rate, res, g):
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _xla_attention(q, k, v, lengths, scale):
+    """Plain-XLA equivalent of the kernel's rate=0 math (masked softmax,
+    zeroed padded query rows) — the off-TPU per-shard body."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    t = q.shape[2]
+    kpos = jnp.arange(t)[None, None, None, :]
+    s = s + jnp.where(kpos < lengths[:, None, None, None], 0.0, NEG_INF)
+    w = jax.nn.softmax(s, axis=-1)
+    qpos = jnp.arange(t)[None, None, :, None]
+    w = w * (qpos < lengths[:, None, None, None]).astype(w.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+
+
+def fused_attention_sharded(
+    mesh, q, k, v, lengths, seed, scale: float, dropout_rate: float
+):
+    """``fused_attention`` sharded over mesh axes (data→batch, model→heads)
+    via ``jax.shard_map``.
+
+    The kernel grid is per-(batch, head) independent, so sharding needs no
+    communication — but GSPMD can't see that through an opaque
+    ``pallas_call`` and would otherwise all-gather the operands. The
+    dropout seed is decorrelated per shard by folding in the axis indices
+    (each (b, h) grid cell already derives its own stream from the seed).
+    Falls back to the unsharded call when the shapes don't divide the mesh.
+
+    Off-TPU each shard computes the numerically-identical XLA formula
+    instead (the TPU-interpret Pallas emulation does not compose with
+    shard_map's per-device threads); weight dropout is TPU-only there.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape.get("data", 1)
+    tp = mesh.shape.get("model", 1)
+    bsz, heads = q.shape[0], q.shape[1]
+    if (dp == 1 and tp == 1) or bsz % dp or heads % tp:
+        return fused_attention(q, k, v, lengths, seed, scale, dropout_rate)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def body(qs, ks, vs, ls, sd):
+        if dropout_rate > 0.0:
+            di = jax.lax.axis_index("data")
+            mi = jax.lax.axis_index("model")
+            sd = sd + di * tp + mi
+        if not on_tpu:
+            return _xla_attention(qs, ks, vs, ls, scale)
+        return fused_attention(qs, ks, vs, ls, sd, scale, dropout_rate)
+
+    spec = P("data", "model", None, None)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P("data"), P()),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v, lengths, jnp.asarray(seed, jnp.int32))

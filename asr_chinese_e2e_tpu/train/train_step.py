@@ -56,6 +56,7 @@ def make_step_fns(
     smoothing = float(cfg.get("label_smoothing", 0.0))
     use_specaug = bool(cfg.get("spec_augment", False))
     ctc_impl = cfg.get("ctc_impl", "pallas")
+    grad_accum = int(cfg.get("grad_accum", 1))
 
     def featurize(wave, wave_lengths, rng, augment):
         if raw_features:
@@ -78,9 +79,7 @@ def make_step_fns(
             step=jnp.zeros((), jnp.int32),
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, wave, wave_lengths, labels, label_lengths, rng):
-        rng = jax.random.fold_in(rng, state.step)
+    def _grads(params, rng, wave, wave_lengths, labels, label_lengths):
         aug_rng, dropout_rng = jax.random.split(rng)
         feats, feat_lens = featurize(wave, wave_lengths, aug_rng, use_specaug)
 
@@ -98,9 +97,42 @@ def make_step_fns(
                 out, labels, label_lengths, ctc_weight, smoothing, ctc_impl
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, wave, wave_lengths, labels, label_lengths, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if grad_accum == 1:
+            grads, metrics = _grads(
+                state.params, rng, wave, wave_lengths, labels, label_lengths
+            )
+        else:
+            # microbatch scan: grads averaged over ``grad_accum`` slices of
+            # the batch (counting metrics summed, losses averaged). Trades
+            # step time for activation memory — the deep-encoder /
+            # long-utterance knob alongside ``remat``.
+            mb = lambda x: x.reshape(
+                (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+            )
+            rngs = jax.random.split(rng, grad_accum)
+
+            def micro(acc, xs):
+                r, w, wl, lb, ll = xs
+                g, m = _grads(state.params, r, w, wl, lb, ll)
+                return jax.tree_util.tree_map(jnp.add, acc, g), m
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, mstack = jax.lax.scan(
+                micro,
+                zero,
+                (rngs, mb(wave), mb(wave_lengths), mb(labels), mb(label_lengths)),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            metrics = {
+                k: (jnp.sum(v, 0) if k in ("n_correct", "n_word") else jnp.mean(v, 0))
+                for k, v in mstack.items()
+            }
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -82,6 +82,21 @@ class Trainer:
         self.init_fn, self.train_step, self.eval_step = make_step_fns(
             model, tx, feat_cfg, cfg, raw_features=raw_features
         )
+        if mesh is not None:
+            # custom (Pallas) kernels shard over the mesh via shard_map;
+            # the active-mesh context tells them which (trace-time only)
+            from ..parallel.context import active_mesh
+
+            def _with_mesh(fn):
+                def wrapped(*a, **kw):
+                    with active_mesh(mesh):
+                        return fn(*a, **kw)
+
+                return wrapped
+
+            self.init_fn = _with_mesh(self.init_fn)
+            self.train_step = _with_mesh(self.train_step)
+            self.eval_step = _with_mesh(self.eval_step)
         self._raw_features = raw_features
         # optional decoded-CER eval (the reference only ever evaluates
         # teacher-forced argmax CER — SURVEY §3.3); modes: none |

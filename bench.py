@@ -86,6 +86,15 @@ def main(
         )
 
         mesh = make_mesh(data=n_chips)
+        # custom kernels (fused attention) shard over the mesh via
+        # shard_map; re-wrap the step so tracing sees the mesh context
+        from asr_chinese_e2e_tpu.parallel.context import active_mesh
+
+        _raw_step = train_step
+
+        def train_step(state, *a):
+            with active_mesh(mesh):
+                return _raw_step(state, *a)
 
     t0 = time.perf_counter()
     state = init_fn(jax.random.PRNGKey(0), host_batch)

@@ -126,6 +126,17 @@ def test_beam_score_equals_manual_prefix_score():
         np.testing.assert_allclose(result.scores[b, 0], want, rtol=1e-4, atol=1e-4)
 
 
+def test_beam_lazy_reorder_matches_gather():
+    """The lazy ancestry-map beam (no KV-cache gather) must produce
+    exactly the same hypotheses and scores as the physical-gather beam."""
+    model, params, enc_out, enc_lens = setup_attention_model()
+    a = beam_search(model, params, enc_out, enc_lens, 4, 6, lazy=True)
+    b = beam_search(model, params, enc_out, enc_lens, 4, 6, lazy=False)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    np.testing.assert_array_equal(a.finished, b.finished)
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-5)
+
+
 def test_ctc_prefix_and_rescore_pipeline():
     model, params, enc_out, enc_lens = setup_attention_model()
     ctc_lp = model.apply(params, enc_out, method="ctc_log_probs")

@@ -137,6 +137,57 @@ def test_psum_of_shard_losses_equals_global():
     )
 
 
+def test_fused_attention_sharded_matches_unsharded():
+    """The shard_map-wrapped fused attention kernel (data x model sharding
+    of the (B, H, T, D) grid) must match the unsharded kernel exactly at
+    dropout 0 (it needs no communication — per-(b, h) independence)."""
+    from asr_chinese_e2e_tpu.ops.fused_attention import (
+        fused_attention,
+        fused_attention_sharded,
+    )
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 8, 4, 16, 8
+    q, k, v = (
+        jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) for _ in range(3)
+    )
+    lengths = jnp.asarray(rng.randint(4, t + 1, size=(b,)), jnp.int32)
+    seed = jnp.zeros((), jnp.int32)
+    want = fused_attention(q, k, v, lengths, seed, 0.5, 0.0)
+    mesh = make_mesh(data=4, model=2)
+    got = fused_attention_sharded(mesh, q, k, v, lengths, seed, 0.5, 0.0)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-6)
+
+
+def test_fused_attention_sharded_grads_match():
+    from asr_chinese_e2e_tpu.ops.fused_attention import (
+        fused_attention,
+        fused_attention_sharded,
+    )
+
+    rng = np.random.RandomState(1)
+    b, h, t, d = 4, 2, 8, 8
+    q, k, v = (
+        jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) for _ in range(3)
+    )
+    lengths = jnp.full((b,), t, jnp.int32)
+    seed = jnp.zeros((), jnp.int32)
+    mesh = make_mesh(data=4, model=2)
+
+    def loss_plain(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, lengths, seed, 0.5, 0.0) ** 2)
+
+    def loss_sharded(q, k, v):
+        return jnp.sum(
+            fused_attention_sharded(mesh, q, k, v, lengths, seed, 0.5, 0.0) ** 2
+        )
+
+    g1 = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

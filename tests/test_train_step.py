@@ -87,6 +87,47 @@ def test_ctc_only_loss_decreases():
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum=N (microbatch scan) must reproduce the full-batch update
+    exactly when microbatch losses are equal-weighted (uniform target
+    lengths here make CE and CTC means exactly decomposable)."""
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3)
+    batch = make_raw_batch(b=4)
+
+    model, tx, tcfg = build(cfg, SpeechTransformer)
+    state1, losses1, _, _ = run_steps(model, tx, tcfg, 2, batch)
+
+    model2, tx2, tcfg2 = build(cfg, SpeechTransformer, {"grad_accum": 2})
+    state2, losses2, _, _ = run_steps(model2, tx2, tcfg2, 2, batch)
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_matches_no_remat():
+    """remat=True (per-layer activation rematerialization) must not change
+    the computation — identical loss and updated params."""
+    batch = make_raw_batch(b=4)
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3)
+    model, tx, tcfg = build(cfg, SpeechTransformer)
+    state1, losses1, _, _ = run_steps(model, tx, tcfg, 2, batch)
+
+    cfg_r = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3, remat=True)
+    model2, tx2, tcfg2 = build(cfg_r, SpeechTransformer)
+    state2, losses2, _, _ = run_steps(model2, tx2, tcfg2, 2, batch)
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_grad_clip_bounds_grad_norm_effect():
     # with clip 5.0 the metrics expose pre-clip grad_norm; ensure updates
     # stay finite even with a huge learning rate spike

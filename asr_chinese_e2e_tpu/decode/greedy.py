@@ -59,28 +59,36 @@ def attention_greedy_decode(model, params, enc_out, enc_lengths, max_len: int):
 
 
 def _greedy_impl(model, params, enc_out, enc_lengths, *, max_len: int):
+    from .beam import _pin_cache_layouts
+
     bsz = enc_out.shape[0]
     state = model.apply(
         params, enc_out, enc_lengths, max_len + 1, method="init_decode_state"
     )
+    # static (cross K/V) closed over, not carried; cache layouts pinned to
+    # the compute layout (same while/scan carry-copy issue as beam.py)
+    static = state["static"]
+    carry_state0 = _pin_cache_layouts(state["carry"])
 
     def body(carry, i):
-        tokens, state, score, finished = carry
+        tokens, carry_state, score, finished = carry
         logp, state = model.apply(
-            params, tokens[:, i], state, i, method="decode_step"
+            params, tokens[:, i], {"carry": carry_state, "static": static},
+            i, method="decode_step",
         )
+        carry_state = _pin_cache_layouts(state["carry"])
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(finished, EOS_ID, nxt)
         score = score + jnp.where(finished, 0.0, step_lp)
         tokens = tokens.at[:, i + 1].set(nxt)
         finished = finished | (nxt == EOS_ID)
-        return (tokens, state, score, finished), None
+        return (tokens, carry_state, score, finished), None
 
     tokens0 = jnp.zeros((bsz, max_len + 1), jnp.int32).at[:, 0].set(BOS_ID)
     carry = (
         tokens0,
-        state,
+        carry_state0,
         jnp.zeros((bsz,), jnp.float32),
         jnp.zeros((bsz,), bool),
     )

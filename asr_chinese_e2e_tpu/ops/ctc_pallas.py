@@ -132,18 +132,15 @@ def _skip_mask(ext: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     )
 
 
-def _run_recursions(log_probs, logit_lengths, ext, skip, last, interpret):
-    """Shared forward machinery: returns (alpha_all, beta_all, emit) padded."""
-    bsz, t_max, _ = log_probs.shape
-    s = ext.shape[1]
+def _run_recursions(emit_bts, logit_lengths, skip, last, interpret):
+    """Shared forward machinery. ``emit_bts``: (B, T, S) label-indexed
+    log-probs. Returns (alpha_all, beta_all, emit) padded."""
+    bsz, t_max, s = emit_bts.shape
     b_pad = _round_up(bsz, 8)
     s_pad = _round_up(s, 128)
 
-    emit = jnp.take_along_axis(
-        log_probs, ext[:, None, :].astype(jnp.int32), axis=2
-    )  # (B, T, S)
     emit = jnp.pad(
-        emit.transpose(1, 0, 2),
+        emit_bts.transpose(1, 0, 2),
         ((0, 0), (0, b_pad - bsz), (0, s_pad - s)),
         constant_values=BIG_NEG,
     )  # (T, Bp, Sp)
@@ -216,16 +213,28 @@ def ctc_loss_pallas(logits, logit_lengths, labels, label_lengths, blank_id=0):
 
 def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
     bsz, t_max, c = logits.shape
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logits32 = logits.astype(jnp.float32)
+    # emit[b,t,s] = log_softmax(logits)[b,t,ext[b,s]] computed WITHOUT
+    # materializing the (B, T, C) f32 log-prob tensor: the label gather is
+    # a one-hot matmul (exact — each row sums one nonzero product) minus
+    # the logsumexp. The take_along_axis formulation forced XLA to layout-
+    # copy the full 272 MB log-prob tensor every step (profiled ~1.8 ms of
+    # the flagship train step).
+    lse = jax.scipy.special.logsumexp(logits32, axis=-1)  # (B, T)
     ext = extend_labels(labels, blank_id)  # (B, S)
     skip = _skip_mask(ext, blank_id)
     last = (2 * label_lengths).astype(jnp.int32)
+    onehot = jax.nn.one_hot(ext, c, dtype=jnp.float32)  # (B, S, C)
+    emit_bts = (
+        jnp.einsum("btc,bsc->bts", logits32, onehot) - lse[:, :, None]
+    )
     alpha_all, beta_all, emit = _run_recursions(
-        log_probs, logit_lengths, ext, skip, last, _use_interpret()
+        emit_bts, logit_lengths, skip, last, _use_interpret()
     )
     loss = _loss_from_alpha(alpha_all, logit_lengths.astype(jnp.int32), last, bsz)
     residuals = (
-        log_probs,
+        logits,
+        lse,
         alpha_all,
         beta_all,
         emit,
@@ -237,8 +246,8 @@ def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
 
 
 def _ctc_bwd(blank_id, residuals, g):
-    log_probs, alpha_all, beta_all, emit, ext, logit_lengths, loss = residuals
-    bsz, t_max, c = log_probs.shape
+    logits, lse, alpha_all, beta_all, emit, ext, logit_lengths, loss = residuals
+    bsz, t_max, c = logits.shape
     s = ext.shape[1]
 
     # gamma[t, b, s] = log(alpha * beta / emit) ; beta' includes emit[t]
@@ -258,7 +267,9 @@ def _ctc_bwd(blank_id, residuals, g):
     onehot = jax.nn.one_hot(ext, c, dtype=z.dtype)  # (B, S, C)
     d_logp = -jnp.einsum("bts,bsc->btc", z, onehot)
     # chain through log_softmax: d_logits = d_logp - softmax * sum_c d_logp
-    softmax = jnp.exp(log_probs)
+    # (softmax recomputed from logits + logsumexp — cheaper than carrying
+    # the f32 log-prob tensor as a residual)
+    softmax = jnp.exp(logits.astype(jnp.float32) - lse[:, :, None])
     d_logits = d_logp - softmax * jnp.sum(d_logp, axis=-1, keepdims=True)
     d_logits = d_logits * g[:, None, None]
     return (d_logits.astype(jnp.float32), None, None, None)

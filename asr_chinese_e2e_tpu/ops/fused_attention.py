@@ -176,7 +176,9 @@ def fused_attention(q, k, v, lengths, seed, scale: float, dropout_rate: float):
 
 def _vjp_fwd(q, k, v, lengths, seed, scale, rate):
     bsz, heads, t, d = q.shape
-    t_pad, d_pad = _round_up(t, 128), _round_up(d, 128)
+    # T only needs sublane (8) alignment — padding to 128 wastes up to 44%
+    # of the (T, T) score work at speech lengths (267 -> 384 vs 272)
+    t_pad, d_pad = max(_round_up(t, 8), 128), _round_up(d, 128)
     qkv_spec, len_spec, seed_spec = _make_specs(t_pad, d_pad, bsz)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, rate=rate),
@@ -198,7 +200,7 @@ def _vjp_fwd(q, k, v, lengths, seed, scale, rate):
 def _vjp_bwd(scale, rate, res, g):
     q, k, v, lengths, seed = res
     bsz, heads, t, d = q.shape
-    t_pad, d_pad = _round_up(t, 128), _round_up(d, 128)
+    t_pad, d_pad = max(_round_up(t, 8), 128), _round_up(d, 128)
     qkv_spec, len_spec, seed_spec = _make_specs(t_pad, d_pad, bsz)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, rate=rate),

@@ -11,8 +11,10 @@ kaldi-style assembly of ``Predictor/Models/utils.py:34-94``
         --manifest data/test.jsonl --mode beam --beam_size 10 \
         --out results.json
 
-Modes: ctc_greedy | attention_greedy | beam | rescore
-(``rescore`` = CTC-prefix beam + attention rescoring, north-star #4).
+Modes: ctc_greedy | attention_greedy | beam | rescore | joint
+(``rescore`` = CTC-prefix beam + attention rescoring, north-star #4;
+``joint`` = one-pass joint CTC/attention beam — score interpolation at
+every step, the hybrid architecture's strongest decode).
 """
 
 from __future__ import annotations
@@ -69,6 +71,7 @@ def recognize(
     ctc_weight: float = 0.3,
     length_penalty: float = 0.0,
     ctc_beam_impl: str = "device",  # on-chip prefix beam (host = exact ref)
+    ctc_prune: int = 30,  # joint mode: CTC-scored candidates per hyp
     out: str = None,
     **_,
 ):
@@ -104,6 +107,19 @@ def recognize(
             res = beam_search(
                 model, params, enc_out, enc_lens, beam_size, max_decode_len,
                 length_penalty,
+            )
+            ids_nb = res.nbest_ids(nbest)
+            for b in range(len(chunk)):
+                nbest_out.append(
+                    [(ids_nb[b][k], float(res.scores[b, k])) for k in range(len(ids_nb[b]))]
+                )
+        elif mode == "joint":
+            # one-pass joint CTC/attention beam (strongest hybrid decode)
+            from asr_chinese_e2e_tpu.decode.joint import joint_beam_search
+
+            res = joint_beam_search(
+                model, params, enc_out, enc_lens, beam_size, max_decode_len,
+                ctc_weight=ctc_weight, ctc_prune=ctc_prune,
             )
             ids_nb = res.nbest_ids(nbest)
             for b in range(len(chunk)):

@@ -185,6 +185,7 @@ def _ctc_step_scores(ctc_lp_t, frame_mask, r_nb_g, r_b_g, cand, last, is_empty):
         step,
         (r_nb0, jnp.full((b, k, p), LOG_ZERO), psi0),
         jnp.arange(1, t_max),
+        # measured: unroll=16 is ~4% slower and 3.5x the compile time
     )
     # prepend t=0 row; scan stacked (T-1, B, K, P) -> (B, K, P, T)
     r_nb_all = jnp.concatenate(

@@ -59,19 +59,28 @@ def main(
     jax.block_until_ready(enc_out)
     print(f"enc_out {enc_out.shape} {enc_out.dtype}", file=sys.stderr)
 
+    from asr_chinese_e2e_tpu.decode.joint import joint_beam_search
+
     for mode in modes.split(","):
-        lazy = mode == "lazy"
+        if mode == "joint":
+            search = lambda: joint_beam_search(
+                model, params, enc_out, enc_lens, beam, max_len,
+                ctc_weight=0.3,
+            )
+        else:
+            lazy = mode == "lazy"
+            search = lambda: beam_search(
+                model, params, enc_out, enc_lens, beam, max_len, lazy=lazy
+            )
         t0 = time.perf_counter()
-        r = beam_search(model, params, enc_out, enc_lens, beam, max_len, lazy=lazy)
+        r = search()
         print(
             f"[{mode}] compile+first: {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            r = beam_search(
-                model, params, enc_out, enc_lens, beam, max_len, lazy=lazy
-            )
+            r = search()
         wall = (time.perf_counter() - t0) / n_iters
         tput = batch * seconds / wall
         print(

@@ -60,7 +60,9 @@ def test_hybrid_learns_and_beam_decodes(tmp_path):
             break
     assert loss is not None and loss < 1.0, f"hybrid loss did not converge: {loss}"
 
-    hyps_greedy, hyps_beam, refs = [], [], []
+    from asr_chinese_e2e_tpu.decode.joint import joint_beam_search
+
+    hyps_greedy, hyps_beam, hyps_joint, refs = [], [], [], []
     for b in loader.epoch(0):
         feats, feat_lens = parse_batch(
             jnp.asarray(b.wave), jnp.asarray(b.wave_lengths), feat_cfg
@@ -72,9 +74,19 @@ def test_hybrid_learns_and_beam_decodes(tmp_path):
         res = beam_search(model, state.params, enc_out, enc_lens, beam_size=4, max_len=8)
         for hyp in res.nbest_ids(1):
             hyps_beam.append("".join(vocab.ids_to_tokens(hyp[0])))
+        jres = joint_beam_search(
+            model, state.params, enc_out, enc_lens, 4, 8,
+            ctc_weight=0.3, ctc_prune=8,
+        )
+        for hyp in jres.nbest_ids(1):
+            hyps_joint.append("".join(vocab.ids_to_tokens(hyp[0])))
         refs.extend(b.texts)
 
     cer_g = corpus_cer(hyps_greedy, refs)
     cer_b = corpus_cer(hyps_beam, refs)
+    cer_j = corpus_cer(hyps_joint, refs)
     assert cer_g < 15.0, f"attention-greedy CER {cer_g} (e.g. {hyps_greedy[:3]} vs {refs[:3]})"
     assert cer_b <= cer_g + 1e-6 or cer_b < 15.0, f"beam CER {cer_b}"
+    # one-pass joint decoding on learned weights must be at least as good
+    # as the pure attention beam on this easy corpus
+    assert cer_j <= cer_b + 1e-6 or cer_j < 15.0, f"joint CER {cer_j} vs beam {cer_b}"

@@ -67,6 +67,42 @@ def _expand_for_beams(x: jnp.ndarray, beam: int) -> jnp.ndarray:
     return jnp.repeat(x, beam, axis=0)
 
 
+def init_decode_state(model, params, enc_out, enc_lengths, max_len, beam):
+    """Decode state for ``beam`` hypotheses per utterance.
+
+    Models flagging ``FOLD_BEAM_CROSS`` keep cross K/V at one row per
+    utterance (the beam folds into the query inside ``step_cross``);
+    others get the encoder tensors expanded to B·K rows."""
+    if getattr(model, "FOLD_BEAM_CROSS", False):
+        return model.apply(
+            params, enc_out, enc_lengths, max_len, beam,
+            method="init_decode_state",
+        )
+    enc_out_x = _expand_for_beams(enc_out, beam)
+    enc_len_x = _expand_for_beams(enc_lengths, beam)
+    return model.apply(
+        params, enc_out_x, enc_len_x, max_len, method="init_decode_state"
+    )
+
+
+def make_gather_carry(bsz: int, k: int):
+    """Carry-reorder fn: gathers every (B·K)-leading leaf of the carry
+    sub-tree by the (B, K) parent map. The static sub-tree must NOT go
+    through this — it is beam-invariant."""
+
+    def gather_carry(carry_state, parent):
+        flat = (jnp.arange(bsz)[:, None] * k + parent).reshape(bsz * k)
+
+        def g(x):
+            if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
+                return x[flat]
+            return x
+
+        return jax.tree_util.tree_map(g, carry_state)
+
+    return gather_carry
+
+
 def _pin_cache_layouts(carry_state):
     """Pin the (B·K, H, L, d) self-KV cache leaves of the while-loop carry
     to the layout the decode attention ops use (major-to-minor b, L, h, d).
@@ -148,20 +184,7 @@ def _beam_search_impl(
     lazy: bool = False,
 ):
     bsz, k = enc_out.shape[0], beam_size
-
-    if getattr(model, "FOLD_BEAM_CROSS", False):
-        # cross K/V stay one-row-per-utterance; the beam folds into the
-        # query inside step_cross (saves ~K x the cross-cache HBM reads)
-        state = model.apply(
-            params, enc_out, enc_lengths, max_len + 1, k,
-            method="init_decode_state",
-        )
-    else:
-        enc_out_x = _expand_for_beams(enc_out, k)
-        enc_len_x = _expand_for_beams(enc_lengths, k)
-        state = model.apply(
-            params, enc_out_x, enc_len_x, max_len + 1, method="init_decode_state"
-        )
+    state = init_decode_state(model, params, enc_out, enc_lengths, max_len + 1, k)
 
     tokens0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32).at[:, :, 0].set(BOS_ID)
     # only beam slot 0 is live initially (all slots hold identical BOS)
@@ -177,17 +200,7 @@ def _beam_search_impl(
     # through every iteration
     static = state["static"]
     carry_state0 = _pin_cache_layouts(state["carry"])
-
-    def gather_carry(carry_state, flat_parent):
-        """Reorder ONLY the per-hypothesis ``carry`` sub-tree. The static
-        sub-tree is identical across a utterance's beam slots — gathering
-        it would move GBs of HBM per step for nothing."""
-        def g(x):
-            if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
-                return x[flat_parent]
-            return x
-
-        return jax.tree_util.tree_map(g, carry_state)
+    gather_carry = make_gather_carry(bsz, k)
 
     def cond(carry):
         i, _, _, finished, _, _, _ = carry
@@ -223,10 +236,7 @@ def _beam_search_impl(
             # reorder ONLY the tiny ancestry map; caches stay in place
             anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
         else:
-            flat_parent = (
-                jnp.arange(bsz)[:, None] * k + parent
-            ).reshape(bsz * k)
-            carry_state = gather_carry(carry_state, flat_parent)
+            carry_state = gather_carry(carry_state, parent)
         tokens = jnp.take_along_axis(
             tokens, parent[:, :, None], axis=1
         ).at[:, :, i + 1].set(token)

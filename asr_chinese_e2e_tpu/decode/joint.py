@@ -46,7 +46,12 @@ import numpy as np
 
 from ..data.vocab import BLANK_ID, BOS_ID, EOS_ID
 from ..ops.masks import NEG_INF
-from .beam import BeamResult, _pin_cache_layouts
+from .beam import (
+    BeamResult,
+    _pin_cache_layouts,
+    init_decode_state,
+    make_gather_carry,
+)
 
 LOG_ZERO = -1e30
 
@@ -225,6 +230,7 @@ def joint_beam_search(
     pruned candidate set."""
     if ctc_log_probs is None:
         ctc_log_probs = model.apply(params, enc_out, method="ctc_log_probs")
+    ctc_prune = min(ctc_prune, int(ctc_log_probs.shape[-1]))
     key = (id(model), beam_size, max_len, ctc_weight, ctc_prune)
     fn = _JIT_CACHE.get(key)
     if fn is None:
@@ -263,27 +269,16 @@ def _joint_impl(
     t_max = ctc_lp.shape[1]
     lam = float(ctc_weight)
 
-    if getattr(model, "FOLD_BEAM_CROSS", False):
-        state = model.apply(
-            params, enc_out, enc_lengths, max_len + 1, k,
-            method="init_decode_state",
-        )
-    else:
-        rep = lambda x: jnp.repeat(x, k, axis=0)
-        state = model.apply(
-            params, rep(enc_out), rep(enc_lengths), max_len + 1,
-            method="init_decode_state",
-        )
+    state = init_decode_state(model, params, enc_out, enc_lengths, max_len + 1, k)
     static = state["static"]
     carry_state0 = _pin_cache_layouts(state["carry"])
+    gather_carry = make_gather_carry(bsz, k)
 
     ctc_lp_t = ctc_lp.transpose(0, 2, 1)  # (B, C, T) for row gathers
     frame_mask = jnp.arange(t_max)[None, :] < enc_lengths[:, None]
 
     tokens0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32).at[:, :, 0].set(BOS_ID)
-    att0 = jnp.tile(
-        jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32)[None], (bsz, 1)
-    )
+    att0 = jnp.zeros((bsz, k), jnp.float32)
     # CTC registers of the (empty) initial prefix: r_b = cumsum blank
     blank_cum = jnp.cumsum(
         jnp.where(frame_mask, ctc_lp[:, :, BLANK_ID], 0.0), axis=1
@@ -292,23 +287,13 @@ def _joint_impl(
     r_b0 = jnp.tile(blank_cum[:, None, :], (1, k, 1))
     ctc0 = jnp.zeros((bsz, k), jnp.float32)  # cumulative CTC prefix score
     finished0 = jnp.zeros((bsz, k), bool)
-    lengths0 = jnp.zeros((bsz, k), jnp.int32)
-
-    def gather_carry(carry_state, flat_parent):
-        def g(x):
-            if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == bsz * k:
-                return x[flat_parent]
-            return x
-
-        return jax.tree_util.tree_map(g, carry_state)
 
     def cond(c):
         i, finished = c[0], c[4]
         return (i < max_len) & ~jnp.all(finished)
 
     def body(c):
-        (i, tokens, att, ctc, finished, lengths, carry_state,
-         r_nb, r_b) = c
+        (i, tokens, att, ctc, finished, carry_state, r_nb, r_b) = c
         last = tokens[:, :, i].reshape(bsz * k)
         logp, st = model.apply(
             params, last, {"carry": carry_state, "static": static}, i,
@@ -319,13 +304,12 @@ def _joint_impl(
         logp = logp.reshape(bsz, k, v)
 
         # top-P attention candidates; EOS is forced into slot P-1 so the
-        # hypothesis can always terminate. A natural EOS in an earlier
-        # slot would duplicate it — kill those so the beam isn't wasted.
+        # hypothesis can always terminate
         att_top, cand = jax.lax.top_k(logp, p)  # (B, K, P)
-        dup_eos = (cand == EOS_ID).at[:, :, p - 1].set(False)
-        att_top = jnp.where(dup_eos, NEG_INF, att_top)
         cand = cand.at[:, :, p - 1].set(EOS_ID)
         att_top = att_top.at[:, :, p - 1].set(logp[:, :, EOS_ID])
+        # a natural EOS in an earlier slot would duplicate the forced one
+        dup_eos = (cand == EOS_ID).at[:, :, p - 1].set(False)
 
         last_tok = jnp.where(i == 0, -1, tokens[:, :, i])  # (B, K)
         is_empty = i == 0
@@ -345,6 +329,13 @@ def _joint_impl(
             jnp.where(is_eos, frozen, NEG_INF),
             total,
         )
+        # suppressions must be ADDITIVE sentinels on `total`, never scaled
+        # by (1-lam) — at ctc_weight=1 a scaled mask vanishes and the beam
+        # collapses to duplicates:
+        # - duplicate-EOS slots
+        # - at step 0 every parent slot but 0 (all hold the same BOS)
+        dead0 = (i == 0) & (jnp.arange(k)[None, :, None] > 0)
+        total = jnp.where(dup_eos | dead0, NEG_INF, total)
 
         top_scores, top_idx = jax.lax.top_k(total.reshape(bsz, k * p), k)
         parent = top_idx // p  # (B, K)
@@ -379,25 +370,21 @@ def _joint_impl(
         r_nb = jnp.where(live_ext[:, :, None], sel3(r_nb_c), par_r_nb)
         r_b = jnp.where(live_ext[:, :, None], sel3(r_b_c), par_r_b)
 
-        flat_parent = (jnp.arange(bsz)[:, None] * k + parent).reshape(bsz * k)
-        carry_state = gather_carry(carry_new, flat_parent)
+        carry_state = gather_carry(carry_new, parent)
         tokens = jnp.take_along_axis(
             tokens, parent[:, :, None], axis=1
         ).at[:, :, i + 1].set(token)
-        lengths = jnp.take_along_axis(lengths, parent, axis=1)
-        lengths = jnp.where(was_finished, lengths, lengths + 1)
         finished = was_finished | (token == EOS_ID)
         return (
-            i + 1, tokens, new_att, new_ctc, finished, lengths, carry_state,
-            r_nb, r_b,
+            i + 1, tokens, new_att, new_ctc, finished, carry_state, r_nb, r_b,
         )
 
     carry = (
-        jnp.asarray(0), tokens0, att0, ctc0, finished0, lengths0,
+        jnp.asarray(0), tokens0, att0, ctc0, finished0,
         carry_state0, r_nb0, r_b0,
     )
     out = jax.lax.while_loop(cond, body, carry)
-    _, tokens, att, ctc, finished, lengths = out[:6]
+    _, tokens, att, ctc, finished = out[:5]
     scores = (1.0 - lam) * att + lam * ctc
     order = jnp.argsort(-scores, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)

@@ -225,8 +225,15 @@ def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
     skip = _skip_mask(ext, blank_id)
     last = (2 * label_lengths).astype(jnp.int32)
     onehot = jax.nn.one_hot(ext, c, dtype=jnp.float32)  # (B, S, C)
+    # HIGHEST precision: TPU f32 einsum defaults to bf16 multiplies, which
+    # would round the selected log-probs (~0.04 nats at |logit|~7) — the
+    # selection must be exact for the alpha/beta recursions
     emit_bts = (
-        jnp.einsum("btc,bsc->bts", logits32, onehot) - lse[:, :, None]
+        jnp.einsum(
+            "btc,bsc->bts", logits32, onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        - lse[:, :, None]
     )
     alpha_all, beta_all, emit = _run_recursions(
         emit_bts, logit_lengths, skip, last, _use_interpret()

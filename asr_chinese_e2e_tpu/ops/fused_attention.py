@@ -227,9 +227,35 @@ def _vjp_bwd(scale, rate, res, g):
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def _xla_attention(q, k, v, lengths, scale):
-    """Plain-XLA equivalent of the kernel's rate=0 math (masked softmax,
-    zeroed padded query rows) — the off-TPU per-shard body."""
+def _xla_keep_mask(seed, bsz, heads, t, rate):
+    """Plain-jnp replica of the kernel's index-hash dropout mask
+    (``_keep_mask``): bit-identical for element (b, h, i, j) because the
+    hash is keyed on indices, not on a sequential PRNG stream."""
+    cell = (
+        jnp.arange(bsz, dtype=jnp.uint32)[:, None] * jnp.uint32(heads)
+        + jnp.arange(heads, dtype=jnp.uint32)[None, :]
+    )  # (B, H)
+    i = jnp.arange(t, dtype=jnp.uint32)[:, None]
+    j = jnp.arange(t, dtype=jnp.uint32)[None, :]
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    base = seed * jnp.uint32(0xC2B2AE35) + cell * jnp.uint32(0x27D4EB2F)
+    x = (
+        (i * jnp.uint32(0x9E3779B9) ^ j * jnp.uint32(0x85EBCA6B))[None, None]
+        ^ base[:, :, None, None]
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return (x >= threshold).astype(jnp.float32) / (1.0 - rate)
+
+
+def _xla_attention(q, k, v, lengths, seed, scale, rate):
+    """Plain-XLA equivalent of the kernel's math (masked softmax, zeroed
+    padded query rows, index-hash weight dropout) — the off-TPU per-shard
+    body. Differentiable by plain autodiff."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
     t = q.shape[2]
@@ -238,6 +264,8 @@ def _xla_attention(q, k, v, lengths, scale):
     w = jax.nn.softmax(s, axis=-1)
     qpos = jnp.arange(t)[None, None, :, None]
     w = w * (qpos < lengths[:, None, None, None]).astype(w.dtype)
+    if rate > 0.0:
+        w = w * _xla_keep_mask(seed, q.shape[0], q.shape[1], t, rate)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
 
 
@@ -273,7 +301,7 @@ def fused_attention_sharded(
             mi = jax.lax.axis_index("model")
             sd = sd + di * tp + mi
         if not on_tpu:
-            return _xla_attention(qs, ks, vs, ls, scale)
+            return _xla_attention(qs, ks, vs, ls, sd, scale, dropout_rate)
         return fused_attention(qs, ks, vs, ls, sd, scale, dropout_rate)
 
     spec = P("data", "model", None, None)

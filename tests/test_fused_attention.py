@@ -178,3 +178,22 @@ def test_dropout_grads_match_host_mask_oracle():
         np.testing.assert_allclose(
             np.asarray(a) / scale_ref, np.asarray(b) / scale_ref, atol=2e-2
         )
+
+
+def test_xla_body_matches_kernel_with_dropout():
+    """The off-TPU shard_map body (`_xla_attention`) must reproduce the
+    kernel exactly — including the index-hash weight-dropout mask — so a
+    meshed CPU run regularizes identically to the unsharded interpret
+    path."""
+    from asr_chinese_e2e_tpu.ops.fused_attention import _xla_attention
+
+    rng = np.random.RandomState(3)
+    b, h, t, d = 2, 2, 12, 8
+    q, k, v = (
+        jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) for _ in range(3)
+    )
+    lengths = jnp.asarray([t, t - 5], jnp.int32)
+    seed = jnp.asarray(1234, jnp.int32)
+    want = fused_attention(q, k, v, lengths, seed, 0.5, 0.1)
+    got = _xla_attention(q, k, v, lengths, seed, 0.5, 0.1)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)

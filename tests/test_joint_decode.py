@@ -158,3 +158,30 @@ def test_joint_full_weight_finds_ctc_favoured_hyp():
         if j.finished[b, 0]:
             want = host_complete_score(b, j.nbest_ids(1)[b][0])
             np.testing.assert_allclose(j.scores[b, 0], want, rtol=1e-4, atol=1e-4)
+
+
+def _unique_rows(tokens_b):
+    return {tuple(int(t) for t in row) for row in tokens_b}
+
+
+def test_joint_beam_stays_diverse():
+    """Regression: finished hypotheses must not duplicate across beam
+    slots (a finished hyp's natural-EOS and forced-EOS candidate slots
+    used to both survive top_k, collapsing the beam to copies), and at
+    ctc_weight=1.0 the dead-slot sentinel must not vanish with the
+    (1-lambda) scaling (the beam used to degenerate to one unique hyp)."""
+    model, params, enc_out, enc_lens = setup_attention_model()
+    for lam in (0.3, 1.0):
+        res = joint_beam_search(
+            model, params, enc_out, enc_lens, 4, 10,
+            ctc_weight=lam, ctc_prune=8,
+        )
+        for b in range(enc_out.shape[0]):
+            uniq = _unique_rows(res.tokens[b])
+            assert len(uniq) > 1, (
+                f"lam={lam} utt={b}: beam collapsed to one hypothesis"
+            )
+            assert len(uniq) == res.tokens.shape[1], (
+                f"lam={lam} utt={b}: duplicate hypotheses in the beam: "
+                f"{res.tokens[b]}"
+            )

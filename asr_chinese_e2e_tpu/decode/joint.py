@@ -138,23 +138,26 @@ def ctc_prefix_scores_host(
 # ---------------------------------------------------------------------------
 
 
-def _ctc_step_scores(ctc_lp_t, frame_mask, r_nb_g, r_b_g, cand, last, is_empty):
+def _ctc_step_scores(ctc_lp_flat, frame_mask, r_nb_g, r_b_g, cand, last, is_empty):
     """Batched CTC prefix scores for candidate extensions.
 
-    ctc_lp_t: (B, C, T) CTC log-probs (class-major for row gathers);
-    frame_mask: (B, T) True for valid frames; r_nb_g / r_b_g: (B, K, T)
-    parent registers; cand: (B, K, P) candidate ids; last: (B, K) last
-    token of each parent (-1 if empty); is_empty: (B, K) parent-is-empty.
+    ctc_lp_flat: (B·C, T) CTC log-probs, class-major rows flattened so the
+    candidate gather is a plain 2-D row gather (a (B, C, T) layout makes
+    XLA re-copy the whole tensor inside the decode loop every step —
+    profiled at 1.6 ms/step); frame_mask: (B, T) True for valid frames;
+    r_nb_g / r_b_g: (B, K, T) parent registers; cand: (B, K, P) candidate
+    ids; last: (B, K) last token of each parent (-1 if empty); is_empty:
+    (B, K) parent-is-empty.
 
     Returns (psi (B,K,P), r_nb (B,K,P,T), r_b (B,K,P,T), eos (B,K))."""
     b, k, p = cand.shape
-    t_max = ctc_lp_t.shape[-1]
+    t_max = ctc_lp_flat.shape[-1]
+    c = ctc_lp_flat.shape[0] // b
 
-    # xs[b,k,p,t] = ctc_lp[b, t, cand[b,k,p]] — row gather from (B, C, T)
-    xs = jnp.take_along_axis(
-        ctc_lp_t[:, None, :, :], cand[:, :, :, None], axis=2
-    )  # (B, K, P, T)
-    blank = ctc_lp_t[:, None, BLANK_ID, :]  # (B, 1, T)
+    # xs[b,k,p,t] = ctc_lp[b, t, cand[b,k,p]] — flat row gather
+    rows = jnp.arange(b, dtype=cand.dtype)[:, None, None] * c + cand
+    xs = ctc_lp_flat[rows]  # (B, K, P, T)
+    blank = ctc_lp_flat[jnp.arange(b) * c + BLANK_ID][:, None, :]  # (B, 1, T)
     # freeze the recursion on padded frames: emitting there is impossible
     # and blank is free, so registers/psi keep their last valid value
     fm = frame_mask[:, None, None, :]  # (B, 1, 1, T)
@@ -274,7 +277,10 @@ def _joint_impl(
     carry_state0 = _pin_cache_layouts(state["carry"])
     gather_carry = make_gather_carry(bsz, k)
 
-    ctc_lp_t = ctc_lp.transpose(0, 2, 1)  # (B, C, T) for row gathers
+    v = ctc_lp.shape[-1]
+    # (B·C, T) class-major rows: candidate log-probs become a 2-D row
+    # gather with no in-loop layout copies
+    ctc_lp_flat = ctc_lp.transpose(0, 2, 1).reshape(bsz * v, t_max)
     frame_mask = jnp.arange(t_max)[None, :] < enc_lengths[:, None]
 
     tokens0 = jnp.zeros((bsz, k, max_len + 1), jnp.int32).at[:, :, 0].set(BOS_ID)
@@ -300,12 +306,15 @@ def _joint_impl(
             method="decode_step",
         )
         carry_new = _pin_cache_layouts(st["carry"])
-        v = logp.shape[-1]
         logp = logp.reshape(bsz, k, v)
 
         # top-P attention candidates; EOS is forced into slot P-1 so the
-        # hypothesis can always terminate
-        att_top, cand = jax.lax.top_k(logp, p)  # (B, K, P)
+        # hypothesis can always terminate. top_k runs on a 2-D view: the
+        # 3-D form lowers to a full per-row SORT of the vocab on TPU
+        # (profiled at 3.2 ms/step vs ~0.15 ms for 2-D)
+        att_top, cand = jax.lax.top_k(logp.reshape(bsz * k, v), p)
+        att_top = att_top.reshape(bsz, k, p)
+        cand = cand.reshape(bsz, k, p)
         cand = cand.at[:, :, p - 1].set(EOS_ID)
         att_top = att_top.at[:, :, p - 1].set(logp[:, :, EOS_ID])
         # a natural EOS in an earlier slot would duplicate the forced one
@@ -315,7 +324,7 @@ def _joint_impl(
         is_empty = i == 0
         empty_k = jnp.full((bsz, k), is_empty)
         psi, r_nb_c, r_b_c, eos_sc = _ctc_step_scores(
-            ctc_lp_t, frame_mask, r_nb, r_b, cand, last_tok, empty_k
+            ctc_lp_flat, frame_mask, r_nb, r_b, cand, last_tok, empty_k
         )
         is_eos = cand == EOS_ID
         ctc_cand = jnp.where(is_eos, eos_sc[:, :, None], psi)  # (B,K,P)

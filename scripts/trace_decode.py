@@ -40,12 +40,22 @@ def main(batch=64, beam=10, max_len=40, vocab_size=4233, seconds=8.0,
     enc_out, enc_lens = model.apply(params, feats, feat_lens, method="encode")
     jax.block_until_ready(enc_out)
 
-    lazy = mode == "lazy"
-    r = beam_search(model, params, enc_out, enc_lens, beam, max_len, lazy=lazy)
+    if mode == "joint":
+        from asr_chinese_e2e_tpu.decode.joint import joint_beam_search
+
+        search = lambda: joint_beam_search(
+            model, params, enc_out, enc_lens, beam, max_len, ctc_weight=0.3
+        )
+    else:
+        search = lambda: beam_search(
+            model, params, enc_out, enc_lens, beam, max_len,
+            lazy=mode == "lazy",
+        )
+    r = search()
 
     trace_dir = "/tmp/beam_trace"
     jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
-    r = beam_search(model, params, enc_out, enc_lens, beam, max_len, lazy=lazy)
+    r = search()
     del r
     jax.profiler.stop_trace()
 

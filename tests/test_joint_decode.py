@@ -81,7 +81,7 @@ def test_device_step_scores_match_host():
     xs_valid = xs[:n_valid]
     cands = [1, 2, 3, 4]
 
-    ctc_lp_t = jnp.asarray(xs.T[None])  # (1, C, T)
+    ctc_lp_flat = jnp.asarray(xs.T)  # (B*C, T) with B=1
     frame_mask = jnp.asarray((np.arange(t_max) < n_valid)[None])
 
     # case 1: empty prefix (K=1)
@@ -90,7 +90,7 @@ def test_device_step_scores_match_host():
     blank_cum = np.cumsum(xs[:, BLANK_ID] * (np.arange(t_max) < n_valid))
     r_b0 = jnp.asarray(blank_cum[None, None])
     psi_d, r_nb_d, r_b_d, eos_d = _ctc_step_scores(
-        ctc_lp_t, frame_mask, r_nb0, r_b0,
+        ctc_lp_flat, frame_mask, r_nb0, r_b0,
         jnp.asarray([[cands]]), jnp.asarray([[-1]]), jnp.asarray([[True]]),
     )
     np.testing.assert_allclose(np.asarray(psi_d)[0, 0], psi_h, rtol=1e-5)
@@ -105,7 +105,7 @@ def test_device_step_scores_match_host():
     r_nb_g = r_nb_d[:, :, sel, :]
     r_b_g = r_b_d[:, :, sel, :]
     psi_d2, _, _, eos_d2 = _ctc_step_scores(
-        ctc_lp_t, frame_mask, r_nb_g, r_b_g,
+        ctc_lp_flat, frame_mask, r_nb_g, r_b_g,
         jnp.asarray([[cands]]), jnp.asarray([[2]]), jnp.asarray([[False]]),
     )
     np.testing.assert_allclose(np.asarray(psi_d2)[0, 0], psi_h2, rtol=1e-5)

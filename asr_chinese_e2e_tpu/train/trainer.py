@@ -100,7 +100,8 @@ class Trainer:
         self._raw_features = raw_features
         # optional decoded-CER eval (the reference only ever evaluates
         # teacher-forced argmax CER — SURVEY §3.3); modes: none |
-        # ctc_greedy | attention_greedy
+        # ctc_greedy | attention_greedy | beam | joint
+        # (beam width via eval_beam_size, default 10)
         self._eval_decode = cfg.get("eval_decode", "none")
         self._encode_fn = None
         if self._eval_decode != "none":
@@ -281,13 +282,30 @@ class Trainer:
         enc_out, enc_lens = self._encode_fn(
             self.state.params, arrays["wave"], arrays["wave_lengths"]
         )
+        max_len = self.cfg.get("max_target_len", 64)
         if self._eval_decode == "ctc_greedy":
             lp = self.model.apply(self.state.params, enc_out, method="ctc_log_probs")
             hyp_ids = ctc_greedy_decode(lp, enc_lens)
+        elif self._eval_decode == "beam":
+            from ..decode.beam import beam_search
+
+            res = beam_search(
+                self.model, self.state.params, enc_out, enc_lens,
+                self.cfg.get("eval_beam_size", 10), max_len,
+            )
+            hyp_ids = [h[0] for h in res.nbest_ids(1)]
+        elif self._eval_decode == "joint":
+            from ..decode.joint import joint_beam_search
+
+            res = joint_beam_search(
+                self.model, self.state.params, enc_out, enc_lens,
+                self.cfg.get("eval_beam_size", 10), max_len,
+                ctc_weight=self.cfg.get("ctc_weight", 0.3) or 0.3,
+            )
+            hyp_ids = [h[0] for h in res.nbest_ids(1)]
         else:  # attention_greedy
             tokens, _ = attention_greedy_decode(
-                self.model, self.state.params, enc_out, enc_lens,
-                self.cfg.get("max_target_len", 64),
+                self.model, self.state.params, enc_out, enc_lens, max_len
             )
             hyp_ids = tokens_to_ids(tokens)
         hyps = ["".join(self.vocab.ids_to_tokens(ids)) for ids in hyp_ids]

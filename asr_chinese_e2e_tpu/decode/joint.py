@@ -232,7 +232,15 @@ def joint_beam_search(
     ``ctc_weight=0`` reduces to pure attention beam search over the
     pruned candidate set."""
     if ctc_log_probs is None:
-        ctc_log_probs = model.apply(params, enc_out, method="ctc_log_probs")
+        lp_fn = _JIT_CACHE.get(("lp", id(model)))
+        if lp_fn is None:
+            # eager (op-by-op) model.apply costs ~100 ms of host dispatch
+            # for the (B, T, C) head + log_softmax — jit it once per model
+            lp_fn = jax.jit(
+                lambda prm, eo: model.apply(prm, eo, method="ctc_log_probs")
+            )
+            _JIT_CACHE[("lp", id(model))] = lp_fn
+        ctc_log_probs = lp_fn(params, enc_out)
     ctc_prune = min(ctc_prune, int(ctc_log_probs.shape[-1]))
     key = (id(model), beam_size, max_len, ctc_weight, ctc_prune)
     fn = _JIT_CACHE.get(key)

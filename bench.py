@@ -38,6 +38,8 @@ def main(
     attn_impl: str = "fused",  # fused Pallas kernel w/ in-kernel weight
     # dropout — verified equivalent to the XLA path (tests/test_fused_attention)
     # and +17% step throughput on v5e
+    fbank_impl: str = "pallas",  # fused fbank kernel (xla kept as the
+    # library default so CPU tests skip the interpreter)
     **model_overrides,
 ):
     import jax
@@ -56,7 +58,7 @@ def main(
     n_chips = len(jax.devices())
     log(f"devices: {jax.devices()}")
 
-    feat_cfg = FeatureConfig()
+    feat_cfg = FeatureConfig(fbank_impl=fbank_impl)
     cfg = default_config().build(
         ctc_weight=ctc_weight, dtype=dtype, input_dim=feat_cfg.feature_dim,
         attn_impl=attn_impl, **model_overrides,

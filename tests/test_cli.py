@@ -100,3 +100,50 @@ def test_recognize_cli_ctc_greedy(prepared):
     entry = utt["output"][0]
     assert set(entry) >= {"rec_text", "rec_token", "score", "text"}
     assert "cer" in results  # references present -> CER computed
+
+
+def test_recognize_cli_joint(prepared, tmp_path):
+    """recognize --mode joint end-to-end on a tiny hybrid transformer
+    experiment trained through the train CLI."""
+    _, out, _ = prepared
+    exp_root = str(tmp_path / "ckpt_joint")
+    train_cli.train(
+        model_name="SpeechTransformer",
+        vocab_path=os.path.join(out, "vocab.json"),
+        train_manifest=os.path.join(out, "train.jsonl"),
+        n_mels=20,
+        d_model=32,
+        num_heads=2,
+        head_dim=16,
+        d_ff=32,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        ctc_weight=0.3,
+        batch_size=2,
+        num_epoch=1,
+        log_every_iter=1,
+        eval_every_iter=1000,
+        save_every_iter=1000,
+        lr_schedule="constant",
+        lr=1e-3,
+        exp_root=exp_root,
+        exp_name="joint_exp",
+        max_target_len=8,
+        mesh_model=1,
+    )
+    res_path = str(tmp_path / "joint_results.json")
+    results = rec_cli.recognize(
+        exp=os.path.join(exp_root, "joint_exp"),
+        vocab=os.path.join(out, "vocab.json"),
+        manifest=os.path.join(out, "test.jsonl"),
+        mode="joint",
+        beam_size=3,
+        ctc_weight=0.3,
+        max_decode_len=8,
+        which="latest",
+        out=res_path,
+    )
+    assert os.path.exists(res_path)
+    (utt,) = results["utts"].values()
+    entry = utt["output"][0]
+    assert set(entry) >= {"rec_text", "rec_token", "score", "text"}

@@ -35,6 +35,12 @@ import numpy as np
 
 from ..data.vocab import BOS_ID, EOS_ID
 from ..ops.masks import NEG_INF
+from .jit_cache import ModelJitCache
+
+# non-lexical ids (PAD/blank=0, UNK=1, BOS=2) are never valid mid-hypothesis
+# emissions — extending a prefix with them is meaningless, and a weakly
+# trained decoder can otherwise leak them into n-best output
+_SPECIAL_SUPPRESS = BOS_ID + 1  # ids [0, BOS_ID] masked; EOS stays live
 
 
 @dataclasses.dataclass
@@ -151,8 +157,9 @@ def beam_search(
     uses lazy when the model supports it. Both produce identical beams."""
     if lazy == "auto":
         lazy = hasattr(model, "decode_step_lazy")
-    key = (id(model), beam_size, max_len, length_penalty, lazy)
-    fn = _JIT_CACHE.get(key)
+    cache = _JIT_CACHE.scope(model)
+    key = (beam_size, max_len, length_penalty, lazy)
+    fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
             functools.partial(
@@ -164,12 +171,12 @@ def beam_search(
                 lazy=lazy,
             )
         )
-        _JIT_CACHE[key] = fn
+        cache[key] = fn
     tokens, scores, finished = fn(params, enc_out, enc_lengths)
     return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
 
 
-_JIT_CACHE: dict = {}
+_JIT_CACHE = ModelJitCache()
 
 
 def _beam_search_impl(
@@ -223,6 +230,8 @@ def _beam_search_impl(
         carry_state = _pin_cache_layouts(state["carry"])
         v = logp.shape[-1]
         logp = logp.reshape(bsz, k, v)
+        # PAD/blank, UNK and BOS are never valid emissions
+        logp = logp.at[:, :, :_SPECIAL_SUPPRESS].set(NEG_INF)
         # finished hyps: only EOS allowed, at zero cost (score frozen)
         eos_row = jnp.full((v,), NEG_INF, jnp.float32).at[EOS_ID].set(0.0)
         logp = jnp.where(finished[:, :, None], eos_row[None, None, :], logp)

@@ -37,7 +37,9 @@ def ctc_greedy_decode(
     return out
 
 
-_JIT_CACHE: dict = {}
+from .jit_cache import ModelJitCache
+
+_JIT_CACHE = ModelJitCache()
 
 
 def attention_greedy_decode(model, params, enc_out, enc_lengths, max_len: int):
@@ -46,20 +48,20 @@ def attention_greedy_decode(model, params, enc_out, enc_lengths, max_len: int):
     Returns (tokens (B, max_len) int32 — EOS-terminated, PAD after; and
     scores (B,) summed log-probs). Jitted per (model, max_len) — repeat
     calls skip Python retracing."""
-    key = (id(model), max_len)
-    fn = _JIT_CACHE.get(key)
+    cache = _JIT_CACHE.scope(model)
+    fn = cache.get(max_len)
     if fn is None:
         import functools
 
         fn = jax.jit(
             functools.partial(_greedy_impl, model, max_len=max_len)
         )
-        _JIT_CACHE[key] = fn
+        cache[max_len] = fn
     return fn(params, enc_out, enc_lengths)
 
 
 def _greedy_impl(model, params, enc_out, enc_lengths, *, max_len: int):
-    from .beam import _pin_cache_layouts
+    from .beam import _SPECIAL_SUPPRESS, _pin_cache_layouts
 
     bsz = enc_out.shape[0]
     state = model.apply(
@@ -77,6 +79,9 @@ def _greedy_impl(model, params, enc_out, enc_lengths, *, max_len: int):
             i, method="decode_step",
         )
         carry_state = _pin_cache_layouts(state["carry"])
+        # PAD/blank, UNK and BOS are never valid emissions (same
+        # convention as beam.py's candidate suppression)
+        logp = logp.at[:, :_SPECIAL_SUPPRESS].set(-1e9)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(finished, EOS_ID, nxt)

@@ -47,11 +47,13 @@ import numpy as np
 from ..data.vocab import BLANK_ID, BOS_ID, EOS_ID
 from ..ops.masks import NEG_INF
 from .beam import (
+    _SPECIAL_SUPPRESS,
     BeamResult,
     _pin_cache_layouts,
     init_decode_state,
     make_gather_carry,
 )
+from .jit_cache import ModelJitCache
 
 LOG_ZERO = -1e30
 
@@ -231,19 +233,20 @@ def joint_beam_search(
     precomputed (B, T, C); otherwise taken from ``model.ctc_log_probs``.
     ``ctc_weight=0`` reduces to pure attention beam search over the
     pruned candidate set."""
+    cache = _JIT_CACHE.scope(model)
     if ctc_log_probs is None:
-        lp_fn = _JIT_CACHE.get(("lp", id(model)))
+        lp_fn = cache.get("lp")
         if lp_fn is None:
             # eager (op-by-op) model.apply costs ~100 ms of host dispatch
             # for the (B, T, C) head + log_softmax — jit it once per model
             lp_fn = jax.jit(
                 lambda prm, eo: model.apply(prm, eo, method="ctc_log_probs")
             )
-            _JIT_CACHE[("lp", id(model))] = lp_fn
+            cache["lp"] = lp_fn
         ctc_log_probs = lp_fn(params, enc_out)
     ctc_prune = min(ctc_prune, int(ctc_log_probs.shape[-1]))
-    key = (id(model), beam_size, max_len, ctc_weight, ctc_prune)
-    fn = _JIT_CACHE.get(key)
+    key = (beam_size, max_len, ctc_weight, ctc_prune)
+    fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
             functools.partial(
@@ -255,12 +258,12 @@ def joint_beam_search(
                 ctc_prune=ctc_prune,
             )
         )
-        _JIT_CACHE[key] = fn
+        cache[key] = fn
     tokens, scores, finished = fn(params, enc_out, enc_lengths, ctc_log_probs)
     return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
 
 
-_JIT_CACHE: dict = {}
+_JIT_CACHE = ModelJitCache()
 
 
 def _joint_impl(
@@ -315,6 +318,10 @@ def _joint_impl(
         )
         carry_new = _pin_cache_layouts(st["carry"])
         logp = logp.reshape(bsz, k, v)
+        # PAD/blank, UNK and BOS are never valid candidate extensions —
+        # extending a CTC prefix with the blank id is meaningless, and a
+        # weakly trained decoder can otherwise emit them into hypotheses
+        logp = logp.at[:, :, :_SPECIAL_SUPPRESS].set(NEG_INF)
 
         # top-P attention candidates; EOS is forced into slot P-1 so the
         # hypothesis can always terminate. top_k runs on a 2-D view: the

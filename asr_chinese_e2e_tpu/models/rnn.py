@@ -154,21 +154,47 @@ class LASDecoder(nn.Module):
         return carry, align, context, logits.astype(jnp.float32)
 
     def __call__(self, ys_in, enc_out, enc_lengths, deterministic=True):
+        """Teacher-forced forward over target positions.
+
+        The recurrence runs under a lifted ``nn.scan`` (params broadcast
+        across steps) so the compiled program is ONE fused loop body — a
+        Python unroll at max_target_len=128 produces a 128-step unrolled
+        HLO graph with minutes-long compiles (see
+        ``tests/test_rnn_models.py::test_las_scan_matches_unroll``)."""
         b, l = ys_in.shape
         enc_proj = self.attention.project_encoder(enc_out)
         bias = jnp.where(
             length_mask(enc_lengths, enc_out.shape[1]), 0.0, NEG_INF
         ).astype(jnp.float32)
         emb = self.dropout(self.embed(ys_in), deterministic=deterministic)
-        carry, align, context = self._init_carry(b, enc_out)
+        carry0 = self._init_carry(b, enc_out)
 
-        all_logits = []
-        for t in range(l):  # unrolled; L is small (target length)
-            carry, align, context, logits = self._one_step(
-                emb[:, t], carry, align, context, enc_proj, enc_out, bias
+        if self.cfg.get("decoder_unroll", False):  # oracle/debug path
+            carry, align, context = carry0
+            all_logits = []
+            for t in range(l):
+                carry, align, context, logits = self._one_step(
+                    emb[:, t], carry, align, context, enc_proj, enc_out, bias
+                )
+                all_logits.append(logits)
+            return jnp.stack(all_logits, axis=1)
+
+        def body(mdl, c, x_t):
+            carry, align, context = c
+            carry, align, context, logits = mdl._one_step(
+                x_t, carry, align, context, enc_proj, enc_out, bias
             )
-            all_logits.append(logits)
-        return jnp.stack(all_logits, axis=1)
+            return (carry, align, context), logits
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, logits = scan(self, carry0, emb)
+        return logits
 
     # -- cached decode ------------------------------------------------------
     def init_state(self, enc_out, enc_lengths):

@@ -112,6 +112,16 @@ def make_step_fns(
             # the batch (counting metrics summed, losses averaged). Trades
             # step time for activation memory — the deep-encoder /
             # long-utterance knob alongside ``remat``.
+            #
+            # Semantics: microbatches are EQUAL-weighted. When per-micro-
+            # batch valid-token counts differ (CE ignore_index / CTC length
+            # normalisation), this differs slightly from the full-batch
+            # token-weighted mean — same convention as most DDP trainers.
+            if wave.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch size {wave.shape[0]} is not divisible by "
+                    f"grad_accum={grad_accum}"
+                )
             mb = lambda x: x.reshape(
                 (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
             )

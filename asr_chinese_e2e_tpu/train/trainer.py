@@ -157,17 +157,24 @@ class Trainer:
             if self.mesh is not None:
                 self.state = jax.device_put(self.state, replicated(self.mesh))
             self.epoch = int(meta["epoch"])
-        extra_evals = set(self.cfg.get("extra_eval_epochs", ()) or ())
+        # note: the reference's extra_eval_epochs knob (hardcoded dev evals
+        # at epochs {10,50,80,100,200}, trainer11.py:76-77) is superseded —
+        # dev now evaluates at EVERY epoch end to drive best-ckpt selection
         for epoch in range(self.epoch, self.cfg.num_epoch):
             self.epoch = epoch
             self.train_epoch(epoch)
-            if self.dev_loader is not None and epoch in extra_evals:
-                # the reference's hardcoded extra dev evals at epochs
-                # {10,50,80,100,200} (trainer11.py:76-77), as a knob
-                self.evaluate(self.dev_loader, "dev/")
+            # best-checkpoint selection is driven by the DEV metric only
+            # (selecting on test is evaluation malpractice); the epoch-end
+            # TEST eval (trainer11.py:79-80) remains as reporting
             metric = None
+            if self.dev_loader is not None:
+                metric = self.evaluate(self.dev_loader, "dev/")
             if self.test_loader is not None:  # test eval at epoch end
-                metric = self.evaluate(self.test_loader, "test/")
+                test_metric = self.evaluate(self.test_loader, "test/")
+                if metric is None and self.dev_loader is None:
+                    # no dev set at all: fall back to test rather than
+                    # never tracking a best pointer
+                    metric = test_metric
             # end-of-epoch checkpoints resume at the NEXT epoch; mid-epoch
             # cadence saves (in train_epoch) restart the current one
             self.save(metric, resume_epoch=epoch + 1)
@@ -297,10 +304,13 @@ class Trainer:
         elif self._eval_decode == "joint":
             from ..decode.joint import joint_beam_search
 
+            # the configured weight is honored as-is: joint with weight 0
+            # reduces to the attention beam over the pruned candidate set
+            # (see joint.py docstring)
             res = joint_beam_search(
                 self.model, self.state.params, enc_out, enc_lens,
                 self.cfg.get("eval_beam_size", 10), max_len,
-                ctc_weight=self.cfg.get("ctc_weight", 0.3) or 0.3,
+                ctc_weight=float(self.cfg.get("ctc_weight", 0.3)),
             )
             hyp_ids = [h[0] for h in res.nbest_ids(1)]
         else:  # attention_greedy

@@ -143,3 +143,14 @@ def test_current_lr_readout():
     tcfg = default_train_config()
     lr = current_lr(tcfg, 512, 4000)
     np.testing.assert_allclose(lr, reference_noam(4001, 512, 1.0, 4000), rtol=1e-5)
+
+def test_grad_accum_indivisible_batch_raises():
+    """A batch size not divisible by grad_accum must fail loudly at trace
+    time, not silently garble rows via reshape."""
+    import pytest
+
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3)
+    model, tx, tcfg = build(cfg, SpeechTransformer, {"grad_accum": 3})
+    batch = make_raw_batch(b=4)  # 4 % 3 != 0
+    with pytest.raises(ValueError, match="not divisible by grad_accum"):
+        run_steps(model, tx, tcfg, 1, batch)

@@ -101,3 +101,18 @@ def test_e2e_resume(corpus, tmp_path):
     trainer2, _ = make_trainer(corpus, str(tmp_path / "exp1"), num_epoch=2)
     trainer2.train(from_ckpt="latest")  # resumes at epoch 1, runs epoch 2
     assert int(trainer2.state.step) == step_before + 6
+
+def test_best_checkpoint_follows_dev_not_test(corpus, tmp_path, monkeypatch):
+    """The 'best' pointer must track the DEV metric; the epoch-end TEST
+    eval is reporting only (selecting best on test is malpractice)."""
+    trainer, tcfg = make_trainer(corpus, str(tmp_path / "expdev"), num_epoch=2)
+    tcfg.build(eval_every_iter=10_000)  # keep mid-epoch dev evals out
+    # dev improves at epoch 0 then worsens; test does the OPPOSITE —
+    # if best followed test it would move to the epoch-1 checkpoint
+    scripted = {"dev/": iter([1.0, 2.0]), "test/": iter([5.0, 0.1])}
+    monkeypatch.setattr(
+        Trainer, "evaluate", lambda self, loader, prefix="dev/": next(scripted[prefix])
+    )
+    trainer.train()
+    assert trainer.ckpt.best_name == "e1_s6"  # saved at end of epoch 0
+    assert trainer.ckpt.latest_name == "e2_s12"

@@ -58,12 +58,22 @@ class FeatureConfig:
     cmvn_mode: str = "global"  # "global" (AudioParser) | "per_dim" (AudioParser2)
     use_delta: bool = False  # append Δ features
     use_delta_delta: bool = False  # append ΔΔ features
+    # AudioParser2's feature_type knob (processor.py:119-139): "mfcc" takes
+    # an orthonormal DCT-II over the log-mel bands (librosa convention),
+    # keeping the first n_mfcc coefficients
+    feature_type: str = "fbank"  # "fbank" | "mfcc"
+    n_mfcc: int = 40
     fbank_impl: str = "xla"  # "xla" | "pallas" (ops/fbank_pallas fused kernel)
+
+    @property
+    def base_dim(self) -> int:
+        """Per-frame dim before Δ stacking and LFR."""
+        return self.n_mfcc if self.feature_type == "mfcc" else self.n_mels
 
     @property
     def feature_dim(self) -> int:
         mult = 1 + int(self.use_delta) + int(self.use_delta_delta)
-        return self.n_mels * mult * self.lfr_m
+        return self.base_dim * mult * self.lfr_m
 
     def num_frames(self, num_samples) -> "int | jnp.ndarray":
         """STFT frame count for a waveform of ``num_samples`` samples."""
@@ -102,6 +112,20 @@ def mel_filterbank(cfg: FeatureConfig) -> np.ndarray:
     up = slopes[:, 2:] / f_diff[1:]
     fb = np.maximum(0.0, np.minimum(down, up))
     return fb.astype(np.float32)
+
+
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_in, n_out) orthonormal DCT-II basis (scipy ``dct(type=2,
+    norm='ortho')`` convention): y[k] = Σ_n x[n]·s_k·cos(π(n+½)k/N).
+
+    Applied as a matmul over the mel axis — the MXU-friendly form of the
+    reference's librosa MFCC (``processor.py:119-139``)."""
+    n = np.arange(n_in)[:, None]
+    k = np.arange(n_out)[None, :]
+    basis = np.cos(np.pi * (n + 0.5) * k / n_in)
+    scale = np.full((1, n_out), np.sqrt(2.0 / n_in))
+    scale[0, 0] = np.sqrt(1.0 / n_in)
+    return (basis * scale).astype(np.float32)
 
 
 def dft_basis(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -291,6 +315,10 @@ def parse_batch(
     else:
         feats = log_mel_spectrogram(wave, cfg)
     feat_lengths = cfg.num_frames(wave_lengths)
+    if cfg.feature_type == "mfcc":
+        # AudioParser2 feature_type='mfcc' (processor.py:119-139): DCT-II
+        # over the log-mel bands; Δ/CMVN/SpecAugment then act on cepstra
+        feats = feats @ jnp.asarray(dct_matrix(cfg.n_mels, cfg.n_mfcc))
     if cfg.use_delta or cfg.use_delta_delta:
         parts = [feats]
         d1 = delta_features(feats)

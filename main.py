@@ -77,6 +77,13 @@ def train(**cli_kwargs):
     feat_cfg = FeatureConfig(
         sample_rate=cfg.sample_rate, n_mels=cfg.n_mels,
         lfr_m=cfg.lfr_m, lfr_n=cfg.lfr_n,
+        # AudioParser2-parity knobs (processor.py:106-152)
+        feature_type=cfg.get("feature_type", "fbank"),
+        n_mfcc=cfg.get("n_mfcc", 40),
+        cmvn_mode=cfg.get("cmvn_mode", "global"),
+        use_delta=cfg.get("use_delta", False),
+        use_delta_delta=cfg.get("use_delta_delta", False),
+        fbank_impl=cfg.get("fbank_impl", "xla"),
     )
     if "input_dim" not in cli_kwargs and cfg.get("frontend", "linear") == "linear":
         cfg.build(input_dim=feat_cfg.feature_dim)

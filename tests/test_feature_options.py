@@ -61,3 +61,42 @@ def test_banded_attention_restricts_context():
     assert not np.allclose(
         np.asarray(out1["enc_out"])[0, 7], np.asarray(out2["enc_out"])[0, 7]
     )
+
+
+def test_dct_matrix_matches_scipy():
+    """Oracle: the matmul DCT must equal scipy's DCT-II with ortho norm
+    (the librosa MFCC convention, processor.py:119-139)."""
+    from scipy.fft import dct as scipy_dct
+
+    from asr_chinese_e2e_tpu.data.features import dct_matrix
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 7, 20).astype(np.float32)
+    got = x @ dct_matrix(20, 13)
+    want = scipy_dct(x, type=2, norm="ortho", axis=-1)[..., :13]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_parse_batch_mfcc_pipeline():
+    """feature_type='mfcc' runs DCT over log-mel before Δ/CMVN/LFR and the
+    advertised feature_dim matches the produced shape."""
+    from scipy.fft import dct as scipy_dct
+
+    from asr_chinese_e2e_tpu.data.features import log_mel_spectrogram
+
+    cfg = FeatureConfig(n_mels=20, feature_type="mfcc", n_mfcc=13)
+    assert cfg.feature_dim == 13 * 4
+    wave = jnp.asarray(np.random.RandomState(1).randn(2, 8000).astype(np.float32))
+    lens = jnp.asarray([8000, 6000])
+    feats, out_lens = parse_batch(wave, lens, cfg)
+    assert feats.shape[2] == cfg.feature_dim
+
+    # the cepstra entering CMVN must be scipy's MFCC of our log-mel
+    logmel = np.asarray(log_mel_spectrogram(wave, cfg))
+    want_cep = scipy_dct(logmel, type=2, norm="ortho", axis=-1)[..., :13]
+    from asr_chinese_e2e_tpu.data.features import cmvn, lfr_stack
+
+    flens = cfg.num_frames(lens)
+    want, want_lens = lfr_stack(cmvn(jnp.asarray(want_cep), flens), flens, cfg)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(want), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(want_lens))

@@ -59,7 +59,9 @@ def default_config() -> Config:
         frontend="linear",  # or "conv2d" subsampling
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
-        attn_impl="xla",  # "xla" | "flash" (Pallas kernel; no weight dropout)
+        attn_impl="xla",  # "xla" | "flash" (Pallas, no weight dropout) |
+        # "fused" (Pallas, in-kernel weight dropout) | "ring" (sequence
+        # parallelism over the `seq` mesh axis; no weight dropout)
         attn_weight_dropout=True,  # reference parity; False saves big masks
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
@@ -88,6 +90,9 @@ class EncoderLayer(nn.Module):
             x = self.sub1(x, lambda y: self.attn.flash(y, lengths, deterministic))
         elif impl == "fused" and lengths is not None:
             x = self.sub1(x, lambda y: self.attn.fused(y, lengths, deterministic))
+        elif impl == "ring" and lengths is not None:
+            # sequence/context parallelism over the ``seq`` mesh axis
+            x = self.sub1(x, lambda y: self.attn.ring(y, lengths, deterministic))
         else:
             x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
         return self.sub2(x, lambda y: self.ffn(y, deterministic))
@@ -160,11 +165,34 @@ class DecoderLayer(nn.Module):
         self.sub2 = SubLayer(c.norm_type, self.dtype)
         self.sub3 = SubLayer(c.norm_type, self.dtype)
 
-    def __call__(self, x, enc_out, self_bias, cross_bias, deterministic=True):
-        x = self.sub1(x, lambda y: self.self_attn(y, y, self_bias, deterministic))
-        x = self.sub2(
-            x, lambda y: self.cross_attn(y, enc_out, cross_bias, deterministic)
-        )
+    def __call__(
+        self,
+        x,
+        enc_out,
+        self_bias,
+        cross_bias,
+        deterministic=True,
+        ys_lengths=None,
+        enc_lengths=None,
+    ):
+        impl = self.cfg.get("attn_impl", "xla")
+        if impl == "fused" and ys_lengths is not None and enc_lengths is not None:
+            # both decoder attentions through the fused Pallas kernel:
+            # causal self-attn + rectangular cross-attn (VERDICT r1 #6)
+            x = self.sub1(
+                x, lambda y: self.self_attn.fused_causal(y, ys_lengths, deterministic)
+            )
+            x = self.sub2(
+                x,
+                lambda y: self.cross_attn.fused_cross(
+                    y, enc_out, ys_lengths, enc_lengths, deterministic
+                ),
+            )
+        else:
+            x = self.sub1(x, lambda y: self.self_attn(y, y, self_bias, deterministic))
+            x = self.sub2(
+                x, lambda y: self.cross_attn(y, enc_out, cross_bias, deterministic)
+            )
         return self.sub3(x, lambda y: self.ffn(y, deterministic))
 
     def step(self, x, self_cache, cross_cache, index, self_bias, cross_bias):
@@ -234,7 +262,10 @@ class Decoder(nn.Module):
         self_bias = causal_padding_bias(ys_in_lengths, t)
         cross_bias = padding_bias(enc_lengths, enc_out.shape[1])
         for layer in self.layers:
-            x = layer(x, enc_out, self_bias, cross_bias, deterministic)
+            x = layer(
+                x, enc_out, self_bias, cross_bias, deterministic,
+                ys_in_lengths, enc_lengths,
+            )
         if self.final_norm is not None:
             x = self.final_norm(x)
         return self._project(x)

@@ -147,6 +147,40 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(lookup, params)
 
 
+def state_shardings(mesh: Mesh, state):
+    """Sharding tree for a full TrainState.
+
+    Params follow ``param_shardings`` (TP over ``model`` when the axis is
+    >1, replicated otherwise). Optimizer slots that MIRROR the param tree
+    (Adam mu/nu and any other per-param moments) are sharded exactly like
+    their parameter — under real TP the moments must not stay replicated
+    or TP's memory benefit is forfeited. Scalars (schedule/clip counters)
+    and the step counter are replicated.
+
+    Matching is structural: an optimizer leaf whose key-path SUFFIX equals
+    a parameter's key-path and whose shape matches inherits that
+    parameter's sharding (optax moment trees embed the param tree
+    verbatim, so the param path is always a suffix of the moment path)."""
+    p_sh_tree = param_shardings(mesh, state.params)
+    flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_sh = jax.tree_util.tree_flatten_with_path(p_sh_tree)[0]
+    suffix_map = {
+        jax.tree_util.keystr(path): (leaf.shape, sh)
+        for (path, leaf), (_, sh) in zip(flat_p, flat_sh)
+    }
+    rep = replicated(mesh)
+
+    def opt_leaf(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        for pks, (shape, sh) in suffix_map.items():
+            if ks.endswith(pks) and getattr(leaf, "shape", None) == shape:
+                return sh
+        return rep
+
+    opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state)
+    return state.replace(params=p_sh_tree, opt_state=opt_sh, step=rep)
+
+
 def shard_batch(mesh: Mesh, arrays: dict) -> dict:
     """device_put a host batch with the batch dim split over ``data``
     (the host->device boundary; replaces the reference's per-batch

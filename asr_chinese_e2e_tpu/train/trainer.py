@@ -33,7 +33,6 @@ from ..core.config import Config
 from ..data.batching import Batch, BucketedLoader
 from ..data.features import FeatureConfig
 from ..decode.cer import batch_cer_from_ids
-from ..parallel.sharding import replicated
 from .checkpoint import CheckpointManager
 from .metrics import MetricsAccumulator, ScalarWriter, ThroughputMeter
 from .optimizer import current_lr
@@ -144,8 +143,14 @@ class Trainer:
         init_rng, self.rng = jax.random.split(self.rng)
         self.state = self.init_fn(init_rng, batch)
         if self.mesh is not None:
-            rep = replicated(self.mesh)
-            self.state = jax.device_put(self.state, rep)
+            # params tensor-parallel over ``model`` (replicated where no
+            # rule matches / axis size 1); Adam moments mirror their
+            # params — see parallel/sharding.py::state_shardings
+            from ..parallel.sharding import state_shardings
+
+            self.state = jax.device_put(
+                self.state, state_shardings(self.mesh, self.state)
+            )
 
     # -- public API ---------------------------------------------------------
     def train(self, from_ckpt: Optional[str] = None) -> None:
@@ -155,7 +160,11 @@ class Trainer:
         if from_ckpt is not None:
             self.state, meta = self.ckpt.restore(from_ckpt, template=self.state)
             if self.mesh is not None:
-                self.state = jax.device_put(self.state, replicated(self.mesh))
+                from ..parallel.sharding import state_shardings
+
+                self.state = jax.device_put(
+                    self.state, state_shardings(self.mesh, self.state)
+                )
             self.epoch = int(meta["epoch"])
         # note: the reference's extra_eval_epochs knob (hardcoded dev evals
         # at epochs {10,50,80,100,200}, trainer11.py:76-77) is superseded —
@@ -294,12 +303,22 @@ class Trainer:
             lp = self.model.apply(self.state.params, enc_out, method="ctc_log_probs")
             hyp_ids = ctc_greedy_decode(lp, enc_lens)
         elif self._eval_decode == "beam":
-            from ..decode.beam import beam_search
+            if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+                # data-parallel eval decode: per-shard device beam +
+                # all_gather of the n-best tiles (decode/distributed.py)
+                from ..decode.distributed import distributed_beam_search
 
-            res = beam_search(
-                self.model, self.state.params, enc_out, enc_lens,
-                self.cfg.get("eval_beam_size", 10), max_len,
-            )
+                res = distributed_beam_search(
+                    self.model, self.state.params, enc_out, enc_lens,
+                    self.cfg.get("eval_beam_size", 10), max_len, self.mesh,
+                )
+            else:
+                from ..decode.beam import beam_search
+
+                res = beam_search(
+                    self.model, self.state.params, enc_out, enc_lens,
+                    self.cfg.get("eval_beam_size", 10), max_len,
+                )
             hyp_ids = [h[0] for h in res.nbest_ids(1)]
         elif self._eval_decode == "joint":
             from ..decode.joint import joint_beam_search

@@ -47,6 +47,7 @@ def data_config() -> Config:
         from_ckpt=None,
         mesh_data=-1,
         mesh_model=1,
+        mesh_seq=1,  # sequence parallelism (use with attn_impl="ring")
         num_hosts=1,
         host_id=0,
     )
@@ -116,8 +117,14 @@ def train(**cli_kwargs):
 
     n_dev = len(jax.devices())
     # mesh_data == 0 disables the mesh; -1 means "all remaining devices"
-    if cfg.mesh_data != 0 and (n_dev > 1 or cfg.mesh_model > 1):
-        if cfg.batch_size % (n_dev if cfg.mesh_data == -1 else cfg.mesh_data):
+    mesh_seq = cfg.get("mesh_seq", 1)
+    if cfg.mesh_data != 0 and (n_dev > 1 or cfg.mesh_model > 1 or mesh_seq > 1):
+        data_size = (
+            n_dev // (cfg.mesh_model * mesh_seq)
+            if cfg.mesh_data == -1
+            else cfg.mesh_data
+        )
+        if cfg.batch_size % max(data_size, 1):
             print(
                 f"warning: batch_size {cfg.batch_size} not divisible by "
                 f"data axis; running unsharded"
@@ -125,7 +132,9 @@ def train(**cli_kwargs):
         else:
             from asr_chinese_e2e_tpu.parallel.sharding import make_mesh
 
-            mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+            mesh = make_mesh(
+                data=cfg.mesh_data, model=cfg.mesh_model, seq=mesh_seq
+            )
 
     trainer = Trainer(
         model, tx, cfg, feat_cfg, vocab,

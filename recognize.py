@@ -21,11 +21,13 @@ from __future__ import annotations
 
 import json
 import sys
+import wave as wavelib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asr_chinese_e2e_tpu.data.batching import load_wav
+from asr_chinese_e2e_tpu.data.batching import DEFAULT_BUCKET_SECONDS, load_wav
 from asr_chinese_e2e_tpu.data.features import parse_batch
 from asr_chinese_e2e_tpu.data.manifest import read_manifest
 from asr_chinese_e2e_tpu.decode.beam import beam_search
@@ -39,21 +41,77 @@ from asr_chinese_e2e_tpu.decode.greedy import (
     ctc_greedy_decode,
     tokens_to_ids,
 )
+from asr_chinese_e2e_tpu.decode.jit_cache import ModelJitCache
 from asr_chinese_e2e_tpu.utils.cli import parse_kwargs
 from asr_chinese_e2e_tpu.utils.experiment import load_experiment
 
+_JIT_CACHE = ModelJitCache()
 
-def batched(records, batch_size, max_samples):
-    for i in range(0, len(records), batch_size):
-        chunk = records[i : i + batch_size]
-        waves = [load_wav(r["wave"])[:max_samples] for r in chunk]
-        s = max(len(w) for w in waves)
-        wave = np.zeros((len(chunk), s), np.float32)
-        lengths = np.zeros((len(chunk),), np.int32)
-        for j, w in enumerate(waves):
-            wave[j, : len(w)] = w
-            lengths[j] = len(w)
-        yield chunk, wave, lengths
+
+def _jitted(model, name, fn):
+    """One jitted program per (model, name); jax's own shape cache then
+    gives one compile per bucket shape."""
+    cache = _JIT_CACHE.scope(model)
+    if name not in cache:
+        cache[name] = jax.jit(fn)
+    return cache[name]
+
+
+def _num_samples(record) -> int:
+    """Utterance length in samples: manifest ``frames`` if present, else a
+    header read (no decode)."""
+    if "frames" in record:
+        return int(record["frames"])
+    with wavelib.open(record["wave"], "rb") as w:
+        return w.getnframes()
+
+
+def batched(
+    records,
+    batch_size,
+    max_samples,
+    sample_rate: int = 16000,
+    bucket_seconds=DEFAULT_BUCKET_SECONDS,
+):
+    """Duration-bucketed decode batches with FULLY static shapes.
+
+    Every chunk is padded to its bucket's fixed sample boundary AND to a
+    full ``batch_size`` of rows (short final chunks repeat row 0 as
+    padding), so the decode path compiles at most ONE XLA program per
+    bucket. Padding each chunk to its own max — the previous behavior —
+    recompiles for every new shape, which at the 80-100 s remote-compile
+    cost per program makes corpus-scale decoding unusable (the training
+    loader solved this the same way, ``data/batching.py``).
+
+    Yields (chunk_records, wave (batch_size, boundary), lengths); rows
+    beyond ``len(chunk_records)`` are padding and must be dropped.
+    """
+    boundaries = sorted(
+        {min(int(s * sample_rate), max_samples) for s in bucket_seconds}
+    )
+    if boundaries[-1] < max_samples:
+        boundaries.append(max_samples)
+    groups: dict[int, list] = {}
+    for r in records:
+        n = min(_num_samples(r), max_samples)
+        b = next(x for x in boundaries if n <= x)
+        groups.setdefault(b, []).append(r)
+    for b in sorted(groups):
+        rs = groups[b]
+        for i in range(0, len(rs), batch_size):
+            chunk = rs[i : i + batch_size]
+            wave = np.zeros((batch_size, b), np.float32)
+            lengths = np.zeros((batch_size,), np.int32)
+            for j, r in enumerate(chunk):
+                w = load_wav(r["wave"])[:b]
+                wave[j, : len(w)] = w
+                lengths[j] = len(w)
+            # pad rows duplicate row 0 (valid audio, so no NaN-producing
+            # zero-length stats anywhere downstream); dropped on output
+            for j in range(len(chunk), batch_size):
+                wave[j] = wave[0]
+                lengths[j] = lengths[0]
+            yield chunk, wave, lengths
 
 
 def recognize(
@@ -72,10 +130,24 @@ def recognize(
     length_penalty: float = 0.0,
     ctc_beam_impl: str = "device",  # on-chip prefix beam (host = exact ref)
     ctc_prune: int = 30,  # joint mode: CTC-scored candidates per hyp
+    mesh_data: int = 0,  # >0 or -1: data-parallel decode over a device mesh
     out: str = None,
     **_,
 ):
     model, params, cfg, feat_cfg, voc = load_experiment(exp, vocab, which)
+    mesh = None
+    if mesh_data:
+        # data-parallel decode: each shard runs the full device beam on
+        # its batch rows; one tiled all_gather returns the global n-best
+        # (decode/distributed.py). batch_size must divide the data axis.
+        from asr_chinese_e2e_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(data=mesh_data)
+        if batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"batch_size {batch_size} not divisible by mesh_data "
+                f"{mesh.shape['data']}"
+            )
     if manifest:
         records = read_manifest(manifest)
     elif wav:
@@ -86,15 +158,23 @@ def recognize(
     results = {"utts": {}}
     hyps_all, refs_all = [], []
     max_samples = int(max_seconds * feat_cfg.sample_rate)
-    for chunk, wave, lengths in batched(records, batch_size, max_samples):
-        feats, feat_lens = parse_batch(
-            jnp.asarray(wave), jnp.asarray(lengths), feat_cfg
+    # jitted feature+encoder front half: one compile per bucket shape
+    # (eager model.apply dispatches op-by-op — seconds per chunk)
+    encode_fn = _jitted(model, "encode", lambda p, w, wl: model.apply(
+        p, *parse_batch(w, wl, feat_cfg), method="encode"
+    ))
+    for chunk, wave, lengths in batched(
+        records, batch_size, max_samples, feat_cfg.sample_rate
+    ):
+        enc_out, enc_lens = encode_fn(
+            params, jnp.asarray(wave), jnp.asarray(lengths)
         )
-        enc_out, enc_lens = model.apply(params, feats, feat_lens, method="encode")
 
         nbest_out = []  # per utt: [(ids, score)]
         if mode == "ctc_greedy":
-            lp = model.apply(params, enc_out, method="ctc_log_probs")
+            lp = _jitted(model, "ctc_lp", lambda p, eo: model.apply(
+                p, eo, method="ctc_log_probs"
+            ))(params, enc_out)
             for ids in ctc_greedy_decode(lp, enc_lens):
                 nbest_out.append([(ids, 0.0)])
         elif mode == "attention_greedy":
@@ -104,10 +184,20 @@ def recognize(
             for ids, s in zip(tokens_to_ids(tokens), np.asarray(scores)):
                 nbest_out.append([(ids, float(s))])
         elif mode == "beam":
-            res = beam_search(
-                model, params, enc_out, enc_lens, beam_size, max_decode_len,
-                length_penalty,
-            )
+            if mesh is not None:
+                from asr_chinese_e2e_tpu.decode.distributed import (
+                    distributed_beam_search,
+                )
+
+                res = distributed_beam_search(
+                    model, params, enc_out, enc_lens, beam_size,
+                    max_decode_len, mesh, length_penalty,
+                )
+            else:
+                res = beam_search(
+                    model, params, enc_out, enc_lens, beam_size,
+                    max_decode_len, length_penalty,
+                )
             ids_nb = res.nbest_ids(nbest)
             for b in range(len(chunk)):
                 nbest_out.append(
@@ -127,7 +217,9 @@ def recognize(
                     [(ids_nb[b][k], float(res.scores[b, k])) for k in range(len(ids_nb[b]))]
                 )
         elif mode == "rescore":
-            lp = model.apply(params, enc_out, method="ctc_log_probs")
+            lp = _jitted(model, "ctc_lp", lambda p, eo: model.apply(
+                p, eo, method="ctc_log_probs"
+            ))(params, enc_out)
             if ctc_beam_impl == "device":
                 from asr_chinese_e2e_tpu.decode.ctc_prefix_device import (
                     ctc_prefix_beam_device,

@@ -59,3 +59,41 @@ def test_ring_degenerate_single_shard():
     want = reference_attention(q, k, v, key_valid)
     got = run_ring(q, k, v, key_valid, n_seq=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_ring_matches_xla():
+    """attn_impl='ring' (VERDICT r1 #3): the SpeechTransformer encoder
+    under a seq=2 mesh must reproduce the unsharded XLA encoder bit-near,
+    including with T not divisible by the seq axis and variable lengths."""
+    from asr_chinese_e2e_tpu.models.transformer import SpeechTransformer
+    from asr_chinese_e2e_tpu.parallel.context import active_mesh
+    from tests.test_transformer import make_batch, tiny_cfg
+
+    feats, feat_lens, labels, label_lens = make_batch(b=2, t=9)
+    cfg_x = tiny_cfg(dropout_rate=0.0, attn_impl="xla")
+    cfg_r = tiny_cfg(dropout_rate=0.0, attn_impl="ring")
+    m_x = SpeechTransformer(cfg_x, 20)
+    m_r = SpeechTransformer(cfg_r, 20)
+    params = m_x.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+
+    want, want_lens = m_x.apply(params, feats, feat_lens, method="encode")
+    mesh = make_mesh(data=2, model=1, seq=2)
+    with mesh, active_mesh(mesh):
+        got, got_lens = jax.jit(
+            lambda p, f, fl: m_r.apply(p, f, fl, method="encode")
+        )(params, feats, feat_lens)
+    np.testing.assert_array_equal(np.asarray(want_lens), np.asarray(got_lens))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_encoder_ring_trains():
+    """Ring attention must be differentiable end-to-end: one train step on
+    a (data=2, model=2, seq=2) mesh produces finite loss and grads (the
+    full dryrun path, tiny)."""
+    import __graft_entry__ as ge
+
+    r = ge._dryrun_step(jax.devices()[:8], 2, 2, 2, "ring")
+    assert np.isfinite(r["loss"])
+    assert r["mesh"] == {"data": 2, "model": 2, "seq": 2}

@@ -192,3 +192,114 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_state_shardings_mirror_adam_moments():
+    """state_shardings must TP-shard params AND their Adam moments
+    identically, replicating scalar counters."""
+    from asr_chinese_e2e_tpu.parallel.sharding import state_shardings
+
+    cfg = tiny_cfg(dropout_rate=0.0)
+    tcfg = default_train_config().combine(cfg)
+    model = SpeechTransformer(cfg, VOCAB)
+    tx = make_optimizer(tcfg, cfg.d_model)
+    init_fn, _, _ = make_step_fns(model, tx, FeatureConfig(), tcfg, raw_features=True)
+    batch = make_raw_batch()
+    state = init_fn(jax.random.PRNGKey(0), batch)
+
+    mesh = make_mesh(data=-1, model=2)
+    sh = state_shardings(mesh, state)
+    p_flat = jax.tree_util.tree_flatten_with_path(sh.params)[0]
+    sharded_paths = {
+        jax.tree_util.keystr(p)
+        for p, s in p_flat
+        if s.spec != P()
+    }
+    assert sharded_paths, "no param got a TP rule"
+    # every sharded param's mu and nu carry the SAME spec
+    o_flat = jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]
+    mirrored = {}
+    for path, s in o_flat:
+        ks = jax.tree_util.keystr(path)
+        for pks in sharded_paths:
+            if ks.endswith(pks):
+                mirrored.setdefault(pks, []).append(s.spec)
+    for pks in sharded_paths:
+        specs = mirrored.get(pks, [])
+        assert len(specs) >= 2, f"{pks}: moments not found in opt_state"
+        want = dict(p_flat)[next(iter([p for p, _ in p_flat if jax.tree_util.keystr(p) == pks]))]
+        for s in specs:
+            assert s == want.spec, (pks, s, want.spec)
+
+
+def test_trainer_tp_shards_params_and_matches_replicated():
+    """--mesh_model 2 must actually TP-shard the Trainer's state (params
+    and Adam moments over `model`) and reproduce the replicated run's loss
+    trajectory."""
+    import json
+    import os
+    import tempfile
+
+    from asr_chinese_e2e_tpu.data.batching import BucketedLoader
+    from asr_chinese_e2e_tpu.data.manifest import write_manifest
+    from asr_chinese_e2e_tpu.data.vocab import Vocab
+    from asr_chinese_e2e_tpu.train.trainer import Trainer
+    from tests.test_manifest import write_wav
+
+    tmp = tempfile.mkdtemp()
+    texts = ["你好", "世界", "你好世界", "好你"]
+    records = []
+    for i in range(8):
+        p = os.path.join(tmp, f"u{i}.wav")
+        write_wav(p, n_samples=8000)
+        records.append({"wave": p, "tgt": texts[i % 4], "frames": 8000})
+    mpath = os.path.join(tmp, "train.jsonl")
+    write_manifest(mpath, records)
+    vocab = Vocab()
+    vocab.consume_sentence_list(texts)
+    vocab.build()
+
+    feat_cfg = FeatureConfig(n_mels=20)
+    cfg = tiny_cfg(dropout_rate=0.0, input_dim=feat_cfg.feature_dim)
+    tcfg = default_train_config().combine(cfg)
+    tcfg.build(
+        batch_size=4, num_epoch=1, log_every_iter=1, eval_every_iter=1000,
+        save_every_iter=1000, lr_schedule="constant", lr=1e-3,
+        exp_root=tmp, spec_augment=False,
+    )
+
+    def run(mesh, name):
+        loader = BucketedLoader(mpath, vocab, batch_size=4, max_target_len=8, seed=0)
+        model = SpeechTransformer(cfg, vocab.vocab_size)
+        tx = make_optimizer(tcfg, cfg.d_model)
+        t = Trainer(
+            model, tx, tcfg.build(exp_name=name), feat_cfg, vocab,
+            train_loader=loader, mesh=mesh,
+        )
+        t.train()
+        rows = [
+            json.loads(l)
+            for l in open(os.path.join(t.exp_dir, "scalars.jsonl"))
+        ]
+        losses = [r["train/loss"] for r in rows if "train/loss" in r]
+        return t, losses
+
+    t_rep, losses_rep = run(make_mesh(data=4, model=1), "tp_rep")
+    t_tp, losses_tp = run(make_mesh(data=4, model=2), "tp_tp")
+
+    # (a) params actually sharded over `model`
+    sharded = [
+        l
+        for l in jax.tree_util.tree_leaves(t_tp.state.params)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert sharded, "TP trainer left every param replicated"
+    # ... and so are the Adam moments
+    opt_sharded = [
+        l
+        for l in jax.tree_util.tree_leaves(t_tp.state.opt_state)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert len(opt_sharded) >= 2 * len(sharded) - 2, "Adam moments replicated"
+    # (b) loss trajectory matches the replicated run
+    np.testing.assert_allclose(losses_rep, losses_tp, rtol=2e-3, atol=2e-3)

@@ -132,3 +132,52 @@ def test_bfloat16_compute():
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_fused_impl_matches_xla_logits():
+    """attn_impl='fused' (encoder self + decoder causal self + decoder
+    cross through the Pallas kernel) must reproduce the XLA path's
+    teacher-forced logits at every VALID target position (padded rows are
+    zeroed by the kernel, by design)."""
+    cfg_x = tiny_cfg(dropout_rate=0.0, attn_impl="xla")
+    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused")
+    feats, feat_lens, labels, label_lens = make_batch()
+    m_x = SpeechTransformer(cfg_x, VOCAB)
+    m_f = SpeechTransformer(cfg_f, VOCAB)
+    params = m_x.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+
+    out_x = m_x.apply(params, feats, feat_lens, labels, label_lens)
+    out_f = m_f.apply(params, feats, feat_lens, labels, label_lens)
+    lx, lf = np.asarray(out_x["logits"]), np.asarray(out_f["logits"])
+    for b in range(feats.shape[0]):
+        n = int(label_lens[b]) + 1  # ys_in length = L + 1 (BOS prepended)
+        np.testing.assert_allclose(lf[b, :n], lx[b, :n], rtol=1e-3, atol=1e-3)
+
+
+def test_fused_impl_grads_match_xla():
+    """Hybrid-loss gradients through the fused decoder paths must match
+    the XLA path (dropout off; loss ignores padded positions)."""
+    from asr_chinese_e2e_tpu.losses import model_loss
+
+    cfg_x = tiny_cfg(dropout_rate=0.0, attn_impl="xla")
+    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused")
+    feats, feat_lens, labels, label_lens = make_batch()
+    m_x = SpeechTransformer(cfg_x, VOCAB)
+    m_f = SpeechTransformer(cfg_f, VOCAB)
+    params = m_x.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+
+    def loss_fn(model):
+        def f(p):
+            out = model.apply(p, feats, feat_lens, labels, label_lens)
+            loss, _ = model_loss(out, labels, label_lens, 0.3, 0.0, "xla")
+            return loss
+        return f
+
+    g_x = jax.grad(loss_fn(m_x))(params)
+    g_f = jax.grad(loss_fn(m_f))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_f)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )

@@ -140,8 +140,27 @@ def ctc_prefix_scores_host(
 # ---------------------------------------------------------------------------
 
 
-def _ctc_step_scores(ctc_lp_flat, frame_mask, r_nb_g, r_b_g, cand, last, is_empty):
-    """Batched CTC prefix scores for candidate extensions.
+def _parent_eos_score(frame_mask, r_nb_g, r_b_g):
+    """Complete-sequence score of the PARENT (for the EOS candidate):
+    registers at the last VALID frame. (B, K)."""
+    idx = jnp.sum(frame_mask, axis=1) - 1  # (B,)
+    r_nb_last = jnp.take_along_axis(r_nb_g, idx[:, None, None], axis=2)[..., 0]
+    r_b_last = jnp.take_along_axis(r_b_g, idx[:, None, None], axis=2)[..., 0]
+    return _lae(r_nb_last, r_b_last)
+
+
+def _ctc_candidate_scores(ctc_lp_flat, frame_mask, r_nb_g, r_b_g, cand, last, is_empty):
+    """Batched CTC prefix SCORES for candidate extensions — NO scan.
+
+    The prefix probability psi = psi0 ⊕ (⊕_{t≥1} phi(t-1) + xs(t, c))
+    depends only on the PARENT's registers (via phi), never on the
+    candidate's own recursion — so scoring all K·P candidates is one
+    masked logsumexp over frames, fully vectorised. (The per-frame
+    register recursion is only needed for the K SELECTED extensions;
+    see ``_ctc_selected_registers``. The previous all-candidates scan
+    carried (B, K, P) registers over T-1 lax.scan trips, each doing
+    strided minor-axis slices of two ~20 MB tensors — profiled as the
+    bulk of joint decode's +4.7 ms/step over plain beam.)
 
     ctc_lp_flat: (B·C, T) CTC log-probs, class-major rows flattened so the
     candidate gather is a plain 2-D row gather (a (B, C, T) layout makes
@@ -151,22 +170,20 @@ def _ctc_step_scores(ctc_lp_flat, frame_mask, r_nb_g, r_b_g, cand, last, is_empt
     ids; last: (B, K) last token of each parent (-1 if empty); is_empty:
     (B, K) parent-is-empty.
 
-    Returns (psi (B,K,P), r_nb (B,K,P,T), r_b (B,K,P,T), eos (B,K))."""
-    b, k, p = cand.shape
-    t_max = ctc_lp_flat.shape[-1]
+    Returns (psi (B,K,P), eos (B,K))."""
+    b = frame_mask.shape[0]
     c = ctc_lp_flat.shape[0] // b
 
     # xs[b,k,p,t] = ctc_lp[b, t, cand[b,k,p]] — flat row gather
     rows = jnp.arange(b, dtype=cand.dtype)[:, None, None] * c + cand
     xs = ctc_lp_flat[rows]  # (B, K, P, T)
-    blank = ctc_lp_flat[jnp.arange(b) * c + BLANK_ID][:, None, :]  # (B, 1, T)
-    # freeze the recursion on padded frames: emitting there is impossible
-    # and blank is free, so registers/psi keep their last valid value
-    fm = frame_mask[:, None, None, :]  # (B, 1, 1, T)
-    xs = jnp.where(fm, xs, LOG_ZERO)
-    blank = jnp.where(frame_mask[:, None, :], blank, 0.0)
 
-    # phi[b,k,p,t] = r_b_g[t] (+ r_nb_g[t] unless cand == last)
+    # phi[b,k,p,t] = r_b_g[t] (+ r_nb_g[t] unless cand == last). NOTE: a
+    # "don't materialise phi" variant (score all candidates with the diff
+    # phi, patch the single same-candidate with a (B, K, T) pass) was
+    # measured SLOWER on v5e (350 vs 290 ms/batch) — logsumexp reads its
+    # input twice (max, then sum), so the broadcast recomputes instead of
+    # fusing. Kept materialised.
     same = cand == last[:, :, None]  # (B, K, P)
     phi = jnp.where(
         same[:, :, :, None],
@@ -175,43 +192,74 @@ def _ctc_step_scores(ctc_lp_flat, frame_mask, r_nb_g, r_b_g, cand, last, is_empt
     )  # (B, K, P, T)
 
     empty = is_empty[:, :, None]  # (B, K, 1)
-    r_nb0 = jnp.where(empty, xs[..., 0], LOG_ZERO)
-    psi0 = r_nb0
+    psi0 = jnp.where(empty, xs[..., 0], LOG_ZERO)
 
-    def step(carry, t):
-        r_nb_prev, r_b_prev, psi_prev = carry
-        grow = phi[..., t - 1] + xs[..., t]
-        r_nb = _lae(r_nb_prev + xs[..., t], grow)
-        r_b = _lae(r_b_prev, r_nb_prev) + blank[:, :, None, t]
-        psi = _lae(psi_prev, grow)
-        # padded frames leave registers and psi unchanged
-        vm = frame_mask[:, None, None, t]
+    grow = phi[..., :-1] + xs[..., 1:]  # (B, K, P, T-1), term at frame t
+    valid = frame_mask[:, None, None, 1:]
+    grow = jnp.where(valid, grow, LOG_ZERO)
+    psi = _lae(psi0, jax.scipy.special.logsumexp(grow, axis=-1))
+    return psi, _parent_eos_score(frame_mask, r_nb_g, r_b_g)
+
+
+def _ctc_selected_registers(
+    ctc_lp_flat, frame_mask, r_nb_g, r_b_g, token, last, is_empty
+):
+    """Per-frame CTC forward registers for ONE selected extension per beam
+    slot (the next step's parent registers).
+
+    r_nb_g / r_b_g: (B, K, T) registers of the SELECTED parents (already
+    gathered by the parent map); token: (B, K) selected extension; last:
+    (B, K) the selected parent's last token; is_empty: scalar/array bool.
+
+    Returns (r_nb (B,K,T), r_b (B,K,T)). The scan carries only (B, K)
+    registers — ~P× less work per trip than recursing all candidates."""
+    b, k = token.shape
+    t_max = ctc_lp_flat.shape[-1]
+    c = ctc_lp_flat.shape[0] // b
+
+    rows = jnp.arange(b, dtype=token.dtype)[:, None] * c + token
+    xs = ctc_lp_flat[rows]  # (B, K, T)
+    blank = ctc_lp_flat[jnp.arange(b) * c + BLANK_ID][:, None, :]  # (B, 1, T)
+    # freeze the recursion on padded frames: emitting there is impossible
+    # and blank is free, so registers keep their last valid value
+    fm = frame_mask[:, None, :]  # (B, 1, T)
+    xs = jnp.where(fm, xs, LOG_ZERO)
+    blank = jnp.where(fm, blank, 0.0)
+
+    same = token == last  # (B, K)
+    phi = jnp.where(
+        same[:, :, None], r_b_g, _lae(r_b_g, r_nb_g)
+    )  # (B, K, T)
+
+    r_nb0 = jnp.where(is_empty, xs[..., 0], LOG_ZERO)
+
+    # T-major operands: scan trips slice the MAJOR axis (contiguous),
+    # not the minor one
+    xs_t = jnp.moveaxis(xs, -1, 0)  # (T, B, K)
+    phi_t = jnp.moveaxis(phi, -1, 0)
+    blank_t = jnp.moveaxis(jnp.broadcast_to(blank, (b, 1, t_max)), -1, 0)
+    vm_t = frame_mask.T[:, :, None]  # (T, B, 1)
+
+    def step(carry, xs_blk):
+        r_nb_prev, r_b_prev = carry
+        xs_c, phi_p, blank_c, vm = xs_blk
+        grow = phi_p + xs_c
+        r_nb = _lae(r_nb_prev + xs_c, grow)
+        r_b = _lae(r_b_prev, r_nb_prev) + blank_c
         r_nb = jnp.where(vm, r_nb, r_nb_prev)
         r_b = jnp.where(vm, r_b, r_b_prev)
-        psi = jnp.where(vm, psi, psi_prev)
-        return (r_nb, r_b, psi), (r_nb, r_b)
+        return (r_nb, r_b), (r_nb, r_b)
 
-    (r_nb_T, r_b_T, psi), (r_nb_all, r_b_all) = jax.lax.scan(
+    (_, _), (r_nb_seq, r_b_seq) = jax.lax.scan(
         step,
-        (r_nb0, jnp.full((b, k, p), LOG_ZERO), psi0),
-        jnp.arange(1, t_max),
-        # measured: unroll=16 is ~4% slower and 3.5x the compile time
+        (r_nb0, jnp.full((b, k), LOG_ZERO)),
+        (xs_t[1:], phi_t[:-1], blank_t[1:], vm_t[1:]),
     )
-    # prepend t=0 row; scan stacked (T-1, B, K, P) -> (B, K, P, T)
-    r_nb_all = jnp.concatenate(
-        [r_nb0[None], r_nb_all], axis=0
-    ).transpose(1, 2, 3, 0)
+    r_nb_all = jnp.concatenate([r_nb0[None], r_nb_seq], axis=0)
     r_b_all = jnp.concatenate(
-        [jnp.full((1, b, k, p), LOG_ZERO), r_b_all], axis=0
-    ).transpose(1, 2, 3, 0)
-
-    # complete-sequence score of the PARENT (for the EOS candidate):
-    # registers at the last VALID frame
-    idx = jnp.sum(frame_mask, axis=1) - 1  # (B,)
-    r_nb_last = jnp.take_along_axis(r_nb_g, idx[:, None, None], axis=2)[..., 0]
-    r_b_last = jnp.take_along_axis(r_b_g, idx[:, None, None], axis=2)[..., 0]
-    eos = _lae(r_nb_last, r_b_last)  # (B, K)
-    return psi, r_nb_all, r_b_all, eos
+        [jnp.full((1, b, k), LOG_ZERO), r_b_seq], axis=0
+    )
+    return jnp.moveaxis(r_nb_all, 0, -1), jnp.moveaxis(r_b_all, 0, -1)
 
 
 def joint_beam_search(
@@ -244,8 +292,21 @@ def joint_beam_search(
             )
             cache["lp"] = lp_fn
         ctc_log_probs = lp_fn(params, enc_out)
+    # cap the CTC register width at the batch-max VALID frame count
+    # (rounded up to 32 to bound recompiles): frames beyond every
+    # utterance's length contribute exactly nothing to the recursion, so
+    # scores are unchanged while the frame scan and register traffic
+    # shrink with the bucket occupancy
+    t_valid = int(jnp.max(enc_lengths))
+    t_cap = min(ctc_log_probs.shape[1], -(-t_valid // 32) * 32)
+    if t_cap < ctc_log_probs.shape[1]:
+        ctc_log_probs = ctc_log_probs[:, :t_cap]
     ctc_prune = min(ctc_prune, int(ctc_log_probs.shape[-1]))
-    key = (beam_size, max_len, ctc_weight, ctc_prune)
+    # lazy beam reorder (unpermuted KV caches + ancestry routing) when the
+    # model supports it — measured 462 -> 272 ms/batch on v5e vs the
+    # physical cache gather (same win as decode/beam.py's ladder)
+    lazy = hasattr(model, "decode_step_lazy")
+    key = (beam_size, max_len, ctc_weight, ctc_prune, lazy)
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -256,6 +317,7 @@ def joint_beam_search(
                 max_len=max_len,
                 ctc_weight=ctc_weight,
                 ctc_prune=ctc_prune,
+                lazy=lazy,
             )
         )
         cache[key] = fn
@@ -277,6 +339,7 @@ def _joint_impl(
     max_len: int,
     ctc_weight: float,
     ctc_prune: int,
+    lazy: bool = False,
 ):
     bsz, k = enc_out.shape[0], beam_size
     p = ctc_prune
@@ -310,12 +373,17 @@ def _joint_impl(
         return (i < max_len) & ~jnp.all(finished)
 
     def body(c):
-        (i, tokens, att, ctc, finished, carry_state, r_nb, r_b) = c
+        (i, tokens, att, ctc, finished, carry_state, r_nb, r_b, anc) = c
         last = tokens[:, :, i].reshape(bsz * k)
-        logp, st = model.apply(
-            params, last, {"carry": carry_state, "static": static}, i,
-            method="decode_step",
-        )
+        state_in = {"carry": carry_state, "static": static}
+        if lazy:
+            # position i's KV is written by each slot itself
+            anc = anc.at[:, :, i].set(jnp.arange(k, dtype=jnp.int32)[None])
+            logp, st = model.apply(
+                params, last, state_in, i, anc, method="decode_step_lazy"
+            )
+        else:
+            logp, st = model.apply(params, last, state_in, i, method="decode_step")
         carry_new = _pin_cache_layouts(st["carry"])
         logp = logp.reshape(bsz, k, v)
         # PAD/blank, UNK and BOS are never valid candidate extensions —
@@ -324,12 +392,20 @@ def _joint_impl(
         logp = logp.at[:, :, :_SPECIAL_SUPPRESS].set(NEG_INF)
 
         # top-P attention candidates; EOS is forced into slot P-1 so the
-        # hypothesis can always terminate. top_k runs on a 2-D view: the
-        # 3-D form lowers to a full per-row SORT of the vocab on TPU
-        # (profiled at 3.2 ms/step vs ~0.15 ms for 2-D)
-        att_top, cand = jax.lax.top_k(logp.reshape(bsz * k, v), p)
-        att_top = att_top.reshape(bsz, k, p)
+        # hypothesis can always terminate. top_k runs on a 2-D view (the
+        # 3-D form lowers to a full per-row SORT of the vocab on TPU —
+        # profiled at 3.2 ms/step vs ~0.15 ms for 2-D) and on a bf16 COPY
+        # of the log-probs: selection only needs value ORDER, halving the
+        # custom-call's data movement (profiled at 1.22 ms/step in-loop
+        # for f32); the selected candidates' scores are re-gathered from
+        # the f32 tensor, so scoring precision is unchanged. (Candidates
+        # tied within bf16 resolution may swap set membership at the P
+        # boundary — pruning-level noise, not scoring noise.)
+        _, cand = jax.lax.top_k(
+            logp.reshape(bsz * k, v).astype(jnp.bfloat16), p
+        )
         cand = cand.reshape(bsz, k, p)
+        att_top = jnp.take_along_axis(logp, cand, axis=2)
         cand = cand.at[:, :, p - 1].set(EOS_ID)
         att_top = att_top.at[:, :, p - 1].set(logp[:, :, EOS_ID])
         # a natural EOS in an earlier slot would duplicate the forced one
@@ -338,7 +414,7 @@ def _joint_impl(
         last_tok = jnp.where(i == 0, -1, tokens[:, :, i])  # (B, K)
         is_empty = i == 0
         empty_k = jnp.full((bsz, k), is_empty)
-        psi, r_nb_c, r_b_c, eos_sc = _ctc_step_scores(
+        psi, eos_sc = _ctc_candidate_scores(
             ctc_lp_flat, frame_mask, r_nb, r_b, cand, last_tok, empty_k
         )
         is_eos = cand == EOS_ID
@@ -369,12 +445,6 @@ def _joint_impl(
             xp = jnp.take_along_axis(x, parent[:, :, None], axis=1)
             return jnp.take_along_axis(xp, slot[:, :, None], axis=2)[..., 0]
 
-        def sel3(x):  # (B, K, P, T) -> (B, K, T)
-            xp = jnp.take_along_axis(x, parent[:, :, None, None], axis=1)
-            return jnp.take_along_axis(
-                xp, slot[:, :, None, None], axis=2
-            )[:, :, 0, :]
-
         token = sel2(cand).astype(jnp.int32)
         was_finished = jnp.take_along_axis(finished, parent, axis=1)
         new_att = jnp.where(
@@ -387,25 +457,38 @@ def _joint_impl(
             jnp.take_along_axis(ctc, parent, axis=1),
             sel2(ctc_cand),
         )
-        # registers advance only for live non-EOS extensions
+        # registers advance only for live non-EOS extensions, and are
+        # recursed ONLY for the K selected tokens (not all K·P candidates)
         live_ext = ~was_finished & (token != EOS_ID)
         par_r_nb = jnp.take_along_axis(r_nb, parent[:, :, None], axis=1)
         par_r_b = jnp.take_along_axis(r_b, parent[:, :, None], axis=1)
-        r_nb = jnp.where(live_ext[:, :, None], sel3(r_nb_c), par_r_nb)
-        r_b = jnp.where(live_ext[:, :, None], sel3(r_b_c), par_r_b)
+        par_last = jnp.take_along_axis(last_tok, parent, axis=1)
+        r_nb_sel, r_b_sel = _ctc_selected_registers(
+            ctc_lp_flat, frame_mask, par_r_nb, par_r_b, token, par_last,
+            is_empty,
+        )
+        r_nb = jnp.where(live_ext[:, :, None], r_nb_sel, par_r_nb)
+        r_b = jnp.where(live_ext[:, :, None], r_b_sel, par_r_b)
 
-        carry_state = gather_carry(carry_new, parent)
+        if lazy:
+            # reorder ONLY the tiny ancestry map; caches stay in place
+            anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+            carry_state = carry_new
+        else:
+            carry_state = gather_carry(carry_new, parent)
         tokens = jnp.take_along_axis(
             tokens, parent[:, :, None], axis=1
         ).at[:, :, i + 1].set(token)
         finished = was_finished | (token == EOS_ID)
         return (
             i + 1, tokens, new_att, new_ctc, finished, carry_state, r_nb, r_b,
+            anc,
         )
 
     carry = (
         jnp.asarray(0), tokens0, att0, ctc0, finished0,
         carry_state0, r_nb0, r_b0,
+        jnp.zeros((bsz, k, max_len + 1), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, carry)
     _, tokens, att, ctc, finished = out[:5]

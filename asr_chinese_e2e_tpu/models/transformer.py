@@ -59,9 +59,11 @@ def default_config() -> Config:
         frontend="linear",  # or "conv2d" subsampling
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
-        attn_impl="xla",  # "xla" | "flash" (Pallas, no weight dropout) |
-        # "fused" (Pallas, in-kernel weight dropout) | "ring" (sequence
-        # parallelism over the `seq` mesh axis; no weight dropout)
+        attn_impl="xla",  # encoder self-attn: "xla" | "flash" (Pallas, no
+        # weight dropout) | "fused" (Pallas, in-kernel weight dropout) |
+        # "ring" (sequence parallelism over the `seq` mesh axis)
+        decoder_attn_impl="xla",  # decoder self+cross: "xla" | "fused" —
+        # xla measured faster at AISHELL target lengths (see DecoderLayer)
         attn_weight_dropout=True,  # reference parity; False saves big masks
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
@@ -175,7 +177,14 @@ class DecoderLayer(nn.Module):
         ys_lengths=None,
         enc_lengths=None,
     ):
-        impl = self.cfg.get("attn_impl", "xla")
+        # decoder attention impl is a SEPARATE knob: at AISHELL target
+        # lengths (L≈21) the decoder's weight tensors are ~2 MB — not
+        # weight-bound — while the kernel's padded/transposed cross-K/V
+        # copies cost ~70 MB per layer per direction. Measured on v5e:
+        # decoder-fused 19.9 steps/s vs decoder-xla 26.0 (BENCH_NOTES
+        # round 2). Default xla; 'fused' is available for long-target
+        # regimes.
+        impl = self.cfg.get("decoder_attn_impl", "xla")
         if impl == "fused" and ys_lengths is not None and enc_lengths is not None:
             # both decoder attentions through the fused Pallas kernel:
             # causal self-attn + rectangular cross-attn (VERDICT r1 #6)

@@ -10,7 +10,8 @@ from asr_chinese_e2e_tpu.data.vocab import BLANK_ID, EOS_ID
 from asr_chinese_e2e_tpu.decode.beam import beam_search
 from asr_chinese_e2e_tpu.decode.joint import (
     LOG_ZERO,
-    _ctc_step_scores,
+    _ctc_candidate_scores,
+    _ctc_selected_registers,
     ctc_prefix_scores_host,
     joint_beam_search,
 )
@@ -72,9 +73,10 @@ def test_host_prefix_score_matches_enumeration():
 
 
 def test_device_step_scores_match_host():
-    """The batched device recursion must reproduce the host scorer for
-    empty and non-empty prefixes, incl. repeated-symbol candidates and a
-    shorter valid length."""
+    """The batched device scorer (logsumexp, no scan) and the selected-
+    token register recursion must reproduce the host scorer for empty and
+    non-empty prefixes, incl. repeated-symbol candidates and a shorter
+    valid length."""
     t_max, c = 6, 5
     xs = random_logprobs(t_max, c, seed=1)
     n_valid = 5
@@ -84,28 +86,35 @@ def test_device_step_scores_match_host():
     ctc_lp_flat = jnp.asarray(xs.T)  # (B*C, T) with B=1
     frame_mask = jnp.asarray((np.arange(t_max) < n_valid)[None])
 
-    # case 1: empty prefix (K=1)
+    # case 1: empty prefix (K=1) — candidate scores
     psi_h, r_nb_h, r_b_h, eos_h = ctc_prefix_scores_host(xs_valid, [], cands)
     r_nb0 = jnp.full((1, 1, t_max), LOG_ZERO)
     blank_cum = np.cumsum(xs[:, BLANK_ID] * (np.arange(t_max) < n_valid))
     r_b0 = jnp.asarray(blank_cum[None, None])
-    psi_d, r_nb_d, r_b_d, eos_d = _ctc_step_scores(
+    psi_d, eos_d = _ctc_candidate_scores(
         ctc_lp_flat, frame_mask, r_nb0, r_b0,
         jnp.asarray([[cands]]), jnp.asarray([[-1]]), jnp.asarray([[True]]),
     )
     np.testing.assert_allclose(np.asarray(psi_d)[0, 0], psi_h, rtol=1e-5)
     np.testing.assert_allclose(eos_d[0, 0], eos_h, rtol=1e-5)
+
+    # registers of the SELECTED extension (token 2) match the host rows
+    sel = cands.index(2)
+    r_nb_d, r_b_d = _ctc_selected_registers(
+        ctc_lp_flat, frame_mask, r_nb0, r_b0,
+        jnp.asarray([[2]]), jnp.asarray([[-1]]), jnp.asarray(True),
+    )
     np.testing.assert_allclose(
-        np.asarray(r_nb_d)[0, 0, :, :n_valid], r_nb_h, rtol=1e-5, atol=1e-5
+        np.asarray(r_nb_d)[0, 0, :n_valid], r_nb_h[sel], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_b_d)[0, 0, 1:n_valid], r_b_h[sel][1:], rtol=1e-5, atol=1e-5
     )
 
-    # case 2: prefix [2] using the registers produced by case 1
+    # case 2: prefix [2] using the registers produced above
     psi_h2, _, _, eos_h2 = ctc_prefix_scores_host(xs_valid, [2], cands)
-    sel = cands.index(2)
-    r_nb_g = r_nb_d[:, :, sel, :]
-    r_b_g = r_b_d[:, :, sel, :]
-    psi_d2, _, _, eos_d2 = _ctc_step_scores(
-        ctc_lp_flat, frame_mask, r_nb_g, r_b_g,
+    psi_d2, eos_d2 = _ctc_candidate_scores(
+        ctc_lp_flat, frame_mask, r_nb_d, r_b_d,
         jnp.asarray([[cands]]), jnp.asarray([[2]]), jnp.asarray([[False]]),
     )
     np.testing.assert_allclose(np.asarray(psi_d2)[0, 0], psi_h2, rtol=1e-5)

@@ -140,7 +140,7 @@ def test_fused_impl_matches_xla_logits():
     teacher-forced logits at every VALID target position (padded rows are
     zeroed by the kernel, by design)."""
     cfg_x = tiny_cfg(dropout_rate=0.0, attn_impl="xla")
-    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused")
+    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused", decoder_attn_impl="fused")
     feats, feat_lens, labels, label_lens = make_batch()
     m_x = SpeechTransformer(cfg_x, VOCAB)
     m_f = SpeechTransformer(cfg_f, VOCAB)
@@ -160,7 +160,7 @@ def test_fused_impl_grads_match_xla():
     from asr_chinese_e2e_tpu.losses import model_loss
 
     cfg_x = tiny_cfg(dropout_rate=0.0, attn_impl="xla")
-    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused")
+    cfg_f = tiny_cfg(dropout_rate=0.0, attn_impl="fused", decoder_attn_impl="fused")
     feats, feat_lens, labels, label_lens = make_batch()
     m_x = SpeechTransformer(cfg_x, VOCAB)
     m_f = SpeechTransformer(cfg_f, VOCAB)

@@ -108,6 +108,15 @@ def distributed_beam_search(
             )
         )
         cache[key] = fn
+    # place inputs on the mesh: params replicated, encoder rows sharded
+    # over `data` (arrays committed to a single device would otherwise
+    # conflict with the mesh's device set)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+    row_sh = NamedSharding(mesh, PartitionSpec(data_axis))
+    enc_out = jax.device_put(enc_out, row_sh)
+    enc_lengths = jax.device_put(enc_lengths, row_sh)
     tokens, scores, finished = fn(params, enc_out, enc_lengths)
     return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
 

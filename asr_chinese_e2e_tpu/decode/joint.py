@@ -392,20 +392,16 @@ def _joint_impl(
         logp = logp.at[:, :, :_SPECIAL_SUPPRESS].set(NEG_INF)
 
         # top-P attention candidates; EOS is forced into slot P-1 so the
-        # hypothesis can always terminate. top_k runs on a 2-D view (the
-        # 3-D form lowers to a full per-row SORT of the vocab on TPU —
-        # profiled at 3.2 ms/step vs ~0.15 ms for 2-D) and on a bf16 COPY
-        # of the log-probs: selection only needs value ORDER, halving the
-        # custom-call's data movement (profiled at 1.22 ms/step in-loop
-        # for f32); the selected candidates' scores are re-gathered from
-        # the f32 tensor, so scoring precision is unchanged. (Candidates
-        # tied within bf16 resolution may swap set membership at the P
-        # boundary — pruning-level noise, not scoring noise.)
-        _, cand = jax.lax.top_k(
-            logp.reshape(bsz * k, v).astype(jnp.bfloat16), p
-        )
+        # hypothesis can always terminate. top_k runs on a 2-D view: the
+        # 3-D form lowers to a full per-row SORT of the vocab on TPU
+        # (profiled at 3.2 ms/step vs ~0.15 ms for 2-D). The xprof line
+        # attributing ~1.2 ms/step to this custom call is dependency
+        # stall, not op work: bf16 selection, approx_max_k and exact f32
+        # all measure the same end-to-end (BENCH_NOTES round 2), so the
+        # exact form is kept.
+        att_top, cand = jax.lax.top_k(logp.reshape(bsz * k, v), p)
+        att_top = att_top.reshape(bsz, k, p)
         cand = cand.reshape(bsz, k, p)
-        att_top = jnp.take_along_axis(logp, cand, axis=2)
         cand = cand.at[:, :, p - 1].set(EOS_ID)
         att_top = att_top.at[:, :, p - 1].set(logp[:, :, EOS_ID])
         # a natural EOS in an earlier slot would duplicate the forced one

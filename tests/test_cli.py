@@ -207,3 +207,48 @@ def test_recognize_mixed_lengths_bucketed(prepared, tmp_path):
         batch_size=2,
     )
     assert len(results["utts"]) == 5  # every utt decoded, pad rows dropped
+
+
+def test_recognize_distributed_beam(prepared, tmp_path):
+    """recognize --mesh_data runs the data-parallel beam pipeline on an
+    attention model; output must match the unsharded run
+    utterance-for-utterance."""
+    from asr_chinese_e2e_tpu.data.manifest import write_manifest
+    from tests.test_manifest import write_wav
+
+    tmp, out, _ = prepared
+    exp_root = str(tmp_path / "ckpt_dist")
+    train_cli.train(
+        model_name="SpeechTransformer",
+        vocab_path=os.path.join(out, "vocab.json"),
+        train_manifest=os.path.join(out, "train.jsonl"),
+        n_mels=20, d_model=32, num_heads=2, head_dim=16, d_ff=32,
+        num_encoder_layers=1, num_decoder_layers=1, ctc_weight=0.0,
+        batch_size=2, num_epoch=1, log_every_iter=1, eval_every_iter=1000,
+        save_every_iter=1000, lr_schedule="constant", lr=1e-3,
+        exp_root=exp_root, exp_name="dist_exp", max_target_len=8,
+        mesh_model=1,
+    )
+    records = []
+    for i in range(4):
+        p = str(tmp_path / f"d{i}.wav")
+        write_wav(p, n_samples=8000)
+        records.append({"wave": p, "tgt": "你好", "frames": 8000})
+    mpath = str(tmp_path / "dist.jsonl")
+    write_manifest(mpath, records)
+
+    kwargs = dict(
+        exp=os.path.join(exp_root, "dist_exp"),
+        vocab=os.path.join(out, "vocab.json"),
+        manifest=mpath,
+        mode="beam",
+        which="latest",
+        beam_size=2,
+        batch_size=4,
+        max_decode_len=6,
+    )
+    plain = rec_cli.recognize(**kwargs)
+    dist = rec_cli.recognize(mesh_data=4, **kwargs)
+    assert len(dist["utts"]) == 4
+    for utt, entry in plain["utts"].items():
+        assert dist["utts"][utt]["output"][0]["rec_text"] == entry["output"][0]["rec_text"]

@@ -282,31 +282,31 @@ def joint_beam_search(
     ``ctc_weight=0`` reduces to pure attention beam search over the
     pruned candidate set."""
     cache = _JIT_CACHE.scope(model)
-    if ctc_log_probs is None:
-        lp_fn = cache.get("lp")
-        if lp_fn is None:
-            # eager (op-by-op) model.apply costs ~100 ms of host dispatch
-            # for the (B, T, C) head + log_softmax — jit it once per model
-            lp_fn = jax.jit(
-                lambda prm, eo: model.apply(prm, eo, method="ctc_log_probs")
-            )
-            cache["lp"] = lp_fn
-        ctc_log_probs = lp_fn(params, enc_out)
     # cap the CTC register width at the batch-max VALID frame count
     # (rounded up to 32 to bound recompiles): frames beyond every
     # utterance's length contribute exactly nothing to the recursion, so
     # scores are unchanged while the frame scan and register traffic
     # shrink with the bucket occupancy
     t_valid = int(jnp.max(enc_lengths))
-    t_cap = min(ctc_log_probs.shape[1], -(-t_valid // 32) * 32)
-    if t_cap < ctc_log_probs.shape[1]:
+    t_cap = min(enc_out.shape[1], -(-t_valid // 32) * 32)
+    vocab = (
+        int(ctc_log_probs.shape[-1])
+        if ctc_log_probs is not None
+        else int(getattr(model, "vocab_size"))
+    )
+    ctc_prune = min(ctc_prune, vocab)
+    if ctc_log_probs is not None and t_cap < ctc_log_probs.shape[1]:
         ctc_log_probs = ctc_log_probs[:, :t_cap]
-    ctc_prune = min(ctc_prune, int(ctc_log_probs.shape[-1]))
     # lazy beam reorder (unpermuted KV caches + ancestry routing) when the
     # model supports it — measured 462 -> 272 ms/batch on v5e vs the
     # physical cache gather (same win as decode/beam.py's ladder)
     lazy = hasattr(model, "decode_step_lazy")
-    key = (beam_size, max_len, ctc_weight, ctc_prune, lazy)
+    # when the caller didn't precompute ctc_log_probs, the CTC head runs
+    # INSIDE the search program (t_cap static) — one device dispatch per
+    # batch instead of two (each dispatch costs real latency behind a
+    # remote-TPU tunnel)
+    key = (beam_size, max_len, ctc_weight, ctc_prune, lazy,
+           ctc_log_probs is None, t_cap)
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -318,6 +318,7 @@ def joint_beam_search(
                 ctc_weight=ctc_weight,
                 ctc_prune=ctc_prune,
                 lazy=lazy,
+                t_cap=t_cap,
             )
         )
         cache[key] = fn
@@ -340,7 +341,14 @@ def _joint_impl(
     ctc_weight: float,
     ctc_prune: int,
     lazy: bool = False,
+    t_cap: int = 0,
 ):
+    if ctc_lp is None:
+        # CTC head + log_softmax fused into the search program, on the
+        # frame-capped encoder slice
+        ctc_lp = model.apply(
+            params, enc_out[:, :t_cap], method="ctc_log_probs"
+        )
     bsz, k = enc_out.shape[0], beam_size
     p = ctc_prune
     t_max = ctc_lp.shape[1]

@@ -248,7 +248,9 @@ class BiLSTMCTC(nn.Module):
     def __call__(self, feats, feat_lengths, labels, label_lengths, deterministic=True):
         enc_out, enc_lengths = self.encoder(feats, feat_lengths, deterministic)
         return {
-            "ctc_logits": self.ctc_head(enc_out).astype(jnp.float32),
+            # model dtype: the CTC loss upcasts internally (exact f32
+            # selection/logsumexp)
+            "ctc_logits": self.ctc_head(enc_out),
             "enc_out": enc_out,
             "enc_lengths": enc_lengths,
         }
@@ -288,7 +290,7 @@ class LAS(nn.Module):
             "enc_lengths": enc_lengths,
         }
         if self.cfg.ctc_weight > 0.0:
-            out["ctc_logits"] = self.ctc_head(enc_out).astype(jnp.float32)
+            out["ctc_logits"] = self.ctc_head(enc_out)
         return out
 
     def encode(self, feats, feat_lengths):

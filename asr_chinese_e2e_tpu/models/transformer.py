@@ -391,7 +391,10 @@ class SpeechTransformer(nn.Module):
             "enc_lengths": enc_lengths,
         }
         if self.cfg.ctc_weight > 0.0:
-            out["ctc_logits"] = self.ctc_head(enc_out).astype(jnp.float32)
+            # kept in model dtype: the CTC loss upcasts internally
+            # (exact f32 selection/logsumexp) — materializing the
+            # (B, T, vocab) tensor in f32 here doubled its HBM traffic
+            out["ctc_logits"] = self.ctc_head(enc_out)
         return out
 
     # -- decoding entry points (see decode/) --------------------------------

@@ -92,6 +92,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_host_batch_stacked(mesh: Mesh, arrays: dict) -> dict:
+    """Like ``put_host_batch`` for (k, B, ...) stacks of k batches
+    (``steps_per_dispatch``): the BATCH dim (axis 1) splits over ``data``,
+    the step dim stays whole on every shard."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in arrays.items()
+    }
+
+
 # -- tensor-parallel param rules --------------------------------------------
 # Matched against flax param path strings (joined with "/"). Attention
 # q/k/v kernels are (d_model, heads, head_dim): shard heads; out kernel is

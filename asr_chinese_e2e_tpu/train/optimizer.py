@@ -88,7 +88,7 @@ def make_schedule(cfg: Config, d_model: int):
 
 def make_optimizer(cfg: Config, d_model: int) -> optax.GradientTransformation:
     schedule = make_schedule(cfg, d_model)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adam(
             learning_rate=schedule,
@@ -97,6 +97,13 @@ def make_optimizer(cfg: Config, d_model: int) -> optax.GradientTransformation:
             eps=cfg.adam_eps,
         ),
     )
+    if cfg.get("flat_optimizer", False):
+        # run clip+Adam over ONE flat parameter vector instead of ~200
+        # per-leaf fusions — fewer tiny device ops in the update tail.
+        # Incompatible with tensor-parallel training: the flat moment
+        # vector cannot mirror per-param shardings (state_shardings).
+        tx = optax.flatten(tx)
+    return tx
 
 
 def current_lr(cfg: Config, d_model: int, step: int) -> float:

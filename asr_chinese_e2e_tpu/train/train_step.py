@@ -166,3 +166,28 @@ def make_step_fns(
         return metrics
 
     return init_fn, train_step, eval_step
+
+
+def make_multi_step(train_step):
+    """k train steps in ONE jitted dispatch (``steps_per_dispatch``).
+
+    Takes batches stacked on a leading axis — ``wave: (k, B, samples)``
+    etc. — scans ``train_step`` over them and returns ``(state, metrics)``
+    with every metric stacked ``(k,)`` so per-step logging fidelity is
+    preserved. Amortizes per-dispatch host/runtime latency (significant
+    when driving a remote TPU; harmless on locally attached chips). The
+    per-step RNG streams are identical to k sequential ``train_step``
+    calls: the step folds ``state.step`` into the key itself.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, wave, wave_lengths, labels, label_lengths, rng):
+        def body(st, xs):
+            w, wl, lb, ll = xs
+            return train_step(st, w, wl, lb, ll, rng)
+
+        return jax.lax.scan(
+            body, state, (wave, wave_lengths, labels, label_lengths)
+        )
+
+    return multi_step

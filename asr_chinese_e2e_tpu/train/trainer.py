@@ -60,6 +60,16 @@ class Trainer:
     ) -> None:
         self.model, self.tx, self.cfg = model, tx, cfg
         self.feat_cfg, self.vocab = feat_cfg, vocab
+        if (
+            cfg.get("flat_optimizer", False)
+            and mesh is not None
+            and dict(mesh.shape).get("model", 1) > 1
+        ):
+            raise ValueError(
+                "flat_optimizer is incompatible with tensor parallelism "
+                "(mesh model axis > 1): the flat Adam moment vector cannot "
+                "mirror per-param shardings"
+            )
         self.train_loader = train_loader
         self.dev_loader, self.test_loader = dev_loader, test_loader
         self.mesh = mesh
@@ -96,6 +106,13 @@ class Trainer:
             self.init_fn = _with_mesh(self.init_fn)
             self.train_step = _with_mesh(self.train_step)
             self.eval_step = _with_mesh(self.eval_step)
+        self._multi_step = None
+        if int(cfg.get("steps_per_dispatch", 1)) > 1:
+            from .train_step import make_multi_step
+
+            # k same-bucket train steps per dispatch (see train_epoch);
+            # the mesh context (if any) re-enters via the wrapped step
+            self._multi_step = make_multi_step(self.train_step)
         self._raw_features = raw_features
         # optional decoded-CER eval (the reference only ever evaluates
         # teacher-forced argmax CER — SURVEY §3.3); modes: none |
@@ -135,6 +152,22 @@ class Trainer:
             from ..parallel.sharding import put_host_batch
 
             return put_host_batch(self.mesh, arrays)
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def _put_batch_stacked(self, group) -> dict:
+        """Stack k same-shape batches to (k, B, ...) for multi-step
+        dispatch; under a mesh the batch dim (axis 1) shards over
+        ``data``."""
+        arrays = {
+            "wave": np.stack([b.wave for b in group]),
+            "wave_lengths": np.stack([b.wave_lengths for b in group]),
+            "labels": np.stack([b.labels for b in group]),
+            "label_lengths": np.stack([b.label_lengths for b in group]),
+        }
+        if self.mesh is not None:
+            from ..parallel.sharding import put_host_batch_stacked
+
+            return put_host_batch_stacked(self.mesh, arrays)
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
     def _init_state(self) -> None:
@@ -189,6 +222,16 @@ class Trainer:
             self.save(metric, resume_epoch=epoch + 1)
 
     def train_epoch(self, epoch: int) -> None:
+        """One epoch of the hot loop.
+
+        ``steps_per_dispatch`` (default 1) groups k consecutive SAME-BUCKET
+        batches into one jitted dispatch (``train_step.make_multi_step``)
+        — amortizes per-dispatch host/runtime latency. Per-step metrics
+        come back stacked, so logging fidelity is unchanged; eval/save
+        cadences round up to the dispatch boundary (≤ k−1 steps late).
+        Partial groups (bucket change / epoch end) fall back to the
+        single-step program, so at most two XLA programs exist per bucket.
+        """
         cfg = self.cfg
         acc = MetricsAccumulator()
         self.throughput.reset()
@@ -196,6 +239,7 @@ class Trainer:
         # optional xprof trace window (SURVEY §5.1: tracing/profiling)
         prof_from = cfg.get("profile_from_step", 0)
         prof_steps = cfg.get("profile_steps", 0)
+        spd = max(1, int(cfg.get("steps_per_dispatch", 1)))
         profiling = False
         # the hot loop NEVER syncs with the device except at log/eval/save
         # cadence: metrics stay device arrays in a buffer, and the step
@@ -204,29 +248,12 @@ class Trainer:
         # outputs would serialize host and device here too.)
         step = int(self.state.step)  # one sync at epoch start
         pending: list = []
-        for batch in self.train_loader.epoch(epoch):
-            if prof_steps and not profiling and step == prof_from:
-                import jax
 
-                jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
-                profiling = True
-            arrays = self._put_batch(batch)
-            self.state, metrics = self.train_step(
-                self.state,
-                arrays["wave"],
-                arrays["wave_lengths"],
-                arrays["labels"],
-                arrays["label_lengths"],
-                self.rng,
-            )
+        def after_step(metrics, n_samples, audio_s):
+            nonlocal step
             step += 1
-            if profiling and step >= prof_from + prof_steps:
-                import jax
-
-                jax.profiler.stop_trace()
-                profiling = False
-            self.throughput.step(float(np.sum(batch.wave_lengths)) / sr)
-            pending.append((metrics, len(batch.texts)))
+            self.throughput.step(audio_s)
+            pending.append((metrics, n_samples))
             if step % cfg.log_every_iter == 0:
                 for m, n in pending:  # single blocking drain
                     acc.update({k: float(v) for k, v in m.items()}, num_samples=n)
@@ -247,8 +274,75 @@ class Trainer:
                 self.evaluate(self.dev_loader, "dev/")
             if step % cfg.save_every_iter == 0:
                 self.save()
+
+        def dispatch(group):
+            nonlocal profiling
+            if prof_steps and not profiling and step >= prof_from:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
+                profiling = True
+            if len(group) == 1:
+                batch = group[0]
+                arrays = self._put_batch(batch)
+                self.state, metrics = self.train_step(
+                    self.state,
+                    arrays["wave"],
+                    arrays["wave_lengths"],
+                    arrays["labels"],
+                    arrays["label_lengths"],
+                    self.rng,
+                )
+                after_step(
+                    metrics,
+                    len(batch.texts),
+                    float(np.sum(batch.wave_lengths)) / sr,
+                )
+            else:
+                arrays = self._put_batch_stacked(group)
+                self.state, mstack = self._multi_step(
+                    self.state,
+                    arrays["wave"],
+                    arrays["wave_lengths"],
+                    arrays["labels"],
+                    arrays["label_lengths"],
+                    self.rng,
+                )
+                for i, batch in enumerate(group):
+                    after_step(
+                        {k: v[i] for k, v in mstack.items()},
+                        len(batch.texts),
+                        float(np.sum(batch.wave_lengths)) / sr,
+                    )
+            if profiling and step >= prof_from + prof_steps:
+                import jax
+
+                jax.profiler.stop_trace()
+                profiling = False
+
+        group: list = []
+        group_sig = None
+        for batch in self.train_loader.epoch(epoch):
+            if spd == 1:
+                dispatch([batch])
+                continue
+            sig = (batch.wave.shape, batch.labels.shape)
+            if group and sig != group_sig:
+                # bucket changed: flush the partial group (single-step
+                # program per batch — avoids one compile per group size)
+                for b in group:
+                    dispatch([b])
+                group = []
+            group.append(batch)
+            group_sig = sig
+            if len(group) == spd:
+                dispatch(group)
+                group = []
+        for b in group:  # epoch-end leftovers
+            dispatch([b])
         for m, n in pending:
             acc.update({k: float(v) for k, v in m.items()}, num_samples=n)
+        pending.clear()
         if profiling:
             import jax
 

@@ -154,3 +154,59 @@ def test_grad_accum_indivisible_batch_raises():
     batch = make_raw_batch(b=4)  # 4 % 3 != 0
     with pytest.raises(ValueError, match="not divisible by grad_accum"):
         run_steps(model, tx, tcfg, 1, batch)
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_multi_step (k steps per dispatch) must reproduce k sequential
+    train_step calls: same RNG streams (the step folds state.step into the
+    key itself), same final params, per-step metrics stacked (k,)."""
+    from asr_chinese_e2e_tpu.train.train_step import make_multi_step
+
+    k = 3
+    cfg = tiny_cfg(dropout_rate=0.1, ctc_weight=0.3)  # dropout ON: RNG parity
+    batch = make_raw_batch(b=4)
+    model, tx, tcfg = build(cfg, SpeechTransformer)
+
+    # sequential
+    state1, losses1, _, _ = run_steps(model, tx, tcfg, k, batch)
+
+    # one multi-step dispatch over the same batch stacked k times
+    init_fn, train_step, _ = make_step_fns(
+        model, tx, FEAT_CFG, tcfg, raw_features=True
+    )
+    state2 = init_fn(jax.random.PRNGKey(0), batch)
+    multi = make_multi_step(train_step)
+    stacked = [
+        jnp.asarray(np.broadcast_to(batch[key], (k,) + batch[key].shape))
+        for key in ("wave", "wave_lengths", "labels", "label_lengths")
+    ]
+    state2, metrics = multi(state2, *stacked, jax.random.PRNGKey(1))
+
+    assert metrics["loss"].shape == (k,)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), losses1, rtol=1e-5)
+    assert int(state2.step) == k
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flat_optimizer_matches_per_leaf_updates():
+    """flat_optimizer=True (optax.flatten: clip+Adam over one flat vector)
+    must produce the same losses and params as the per-leaf chain."""
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3)
+    batch = make_raw_batch(b=4)
+
+    model, tx, tcfg = build(cfg, SpeechTransformer)
+    state1, losses1, _, _ = run_steps(model, tx, tcfg, 3, batch)
+
+    model2, tx2, tcfg2 = build(cfg, SpeechTransformer, {"flat_optimizer": True})
+    state2, losses2, _, _ = run_steps(model2, tx2, tcfg2, 3, batch)
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

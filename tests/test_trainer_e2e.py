@@ -41,7 +41,7 @@ def corpus(tmp_path_factory):
     return mpath, v, str(tmp_path)
 
 
-def make_trainer(corpus, exp_root, num_epoch=2):
+def make_trainer(corpus, exp_root, num_epoch=2, **extra):
     mpath, vocab, _ = corpus
     feat_cfg = FeatureConfig(n_mels=20)
     mcfg = default_ctc_config().build(
@@ -61,6 +61,7 @@ def make_trainer(corpus, exp_root, num_epoch=2):
         lr=5e-3,
         exp_root=exp_root,
         exp_name="e2e",
+        **extra,
     )
     loader = BucketedLoader(mpath, vocab, batch_size=4, max_target_len=8, seed=0)
     model = BiLSTMCTC(mcfg, vocab.vocab_size)
@@ -116,3 +117,23 @@ def test_best_checkpoint_follows_dev_not_test(corpus, tmp_path, monkeypatch):
     trainer.train()
     assert trainer.ckpt.best_name == "e1_s6"  # saved at end of epoch 0
     assert trainer.ckpt.latest_name == "e2_s12"
+
+
+def test_steps_per_dispatch_matches_single_step(corpus, tmp_path):
+    """steps_per_dispatch=2 (k same-bucket steps fused into one dispatch,
+    train_step.make_multi_step) must log the SAME per-step loss stream as
+    the plain per-step trainer — grouping changes dispatch, not math."""
+
+    def losses(exp, **extra):
+        trainer, _ = make_trainer(corpus, str(tmp_path / exp), num_epoch=1, **extra)
+        trainer.train()
+        rows = [json.loads(l) for l in open(
+            os.path.join(trainer.exp_dir, "scalars.jsonl"))]
+        return [(r["step"], r["train/loss"]) for r in rows if "train/loss" in r]
+
+    base = losses("exp_spd1")
+    fused = losses("exp_spd2", steps_per_dispatch=2)
+    assert len(base) == len(fused) and len(base) >= 2
+    for (s1, l1), (s2, l2) in zip(base, fused):
+        assert s1 == s2
+        np.testing.assert_allclose(l1, l2, rtol=1e-4)

@@ -230,6 +230,23 @@ def delta_features(feats: jnp.ndarray, order_n: int = 2) -> jnp.ndarray:
     return out / denom
 
 
+def _spec_mask(key, b: int, dim: int, param: int, lengths=None):
+    """One batch of SpecAugment masks via the reference's two-stage draw:
+    width_cap ~ U[0, P), start ~ U[0, dim - width_cap), width ~ U[0,
+    width_cap). Per-row bounded ``jax.random.randint`` draws (array bounds
+    broadcast) — exactly uniform, unlike the former ``randint(0, 1<<30) %
+    hi`` which was modulo-biased. Returns (B, dim) bool."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    cap = jax.random.randint(k1, (b,), 0, param)
+    max_dim = lengths if lengths is not None else jnp.full((b,), dim)
+    hi = jnp.maximum(max_dim - cap, 1)
+    start = jax.random.randint(k2, (b,), 0, hi)
+    width = jax.random.randint(k3, (b,), 0, jnp.maximum(cap, 1))
+    width = jnp.where(cap == 0, 0, width)
+    pos = jnp.arange(dim)[None, :]
+    return (pos >= start[:, None]) & (pos < (start + width)[:, None])
+
+
 def spec_augment(
     feats: jnp.ndarray,
     feat_lengths: jnp.ndarray,
@@ -238,34 +255,22 @@ def spec_augment(
 ) -> jnp.ndarray:
     """SpecAugment masks filled with the utterance mean (``augments.py:4-42``).
 
-    Matches the reference's two-stage draw: width_cap ~ U[0, P), start ~
-    U[0, dim - width_cap), end ~ U[start, start + width_cap). One freq and one
-    time mask by default. Batched: independent masks per utterance.
+    Matches the reference's two-stage draw (see ``_spec_mask``). One freq and
+    one time mask by default. Batched: independent masks per utterance.
     """
     b, t, d = feats.shape
     valid = (jnp.arange(t)[None, :] < feat_lengths[:, None]).astype(feats.dtype)
     n_valid = jnp.maximum(feat_lengths.astype(feats.dtype) * d, 1.0)
     fill = jnp.sum(feats * valid[..., None], axis=(1, 2)) / n_valid  # (B,)
 
-    def draw_mask(key, dim: int, param: int, lengths=None):
-        k1, k2, k3 = jax.random.split(key, 3)
-        cap = jax.random.randint(k1, (b,), 0, param)
-        max_dim = lengths if lengths is not None else jnp.full((b,), dim)
-        hi = jnp.maximum(max_dim - cap, 1)
-        start = jax.random.randint(k2, (b,), 0, 1 << 30) % hi
-        width = jax.random.randint(k3, (b,), 0, 1 << 30) % jnp.maximum(cap, 1)
-        width = jnp.where(cap == 0, 0, width)
-        pos = jnp.arange(dim)[None, :]
-        return (pos >= start[:, None]) & (pos < (start + width)[:, None])  # (B, dim)
-
     keys = jax.random.split(rng, cfg.num_freq_masks + cfg.num_time_masks)
     masked = feats
     for i in range(cfg.num_freq_masks):
-        fm = draw_mask(keys[i], d, cfg.freq_mask_param)  # (B, D)
+        fm = _spec_mask(keys[i], b, d, cfg.freq_mask_param)  # (B, D)
         masked = jnp.where(fm[:, None, :], fill[:, None, None], masked)
     for i in range(cfg.num_time_masks):
-        tm = draw_mask(
-            keys[cfg.num_freq_masks + i], t, cfg.time_mask_param, feat_lengths
+        tm = _spec_mask(
+            keys[cfg.num_freq_masks + i], b, t, cfg.time_mask_param, feat_lengths
         )  # (B, T)
         masked = jnp.where(tm[:, :, None], fill[:, None, None], masked)
     return masked * valid[..., None]

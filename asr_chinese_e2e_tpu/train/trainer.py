@@ -270,14 +270,16 @@ class Trainer:
                 scalars["train/steps_per_s"] = self.throughput.steps_per_sec
                 self.writer.write(step, scalars)
                 acc.reset()
-            if self.dev_loader is not None and step % cfg.eval_every_iter == 0:
-                self.evaluate(self.dev_loader, "dev/")
-            if step % cfg.save_every_iter == 0:
-                self.save()
 
         def dispatch(group):
             nonlocal profiling
-            if prof_steps and not profiling and step >= prof_from:
+            step_before = step
+            # one-shot trace window [prof_from, prof_from + prof_steps)
+            if (
+                prof_steps
+                and not profiling
+                and prof_from <= step < prof_from + prof_steps
+            ):
                 import jax
 
                 jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
@@ -319,6 +321,18 @@ class Trainer:
 
                 jax.profiler.stop_trace()
                 profiling = False
+            # eval/save at most ONCE per dispatch group: with k steps per
+            # dispatch, self.state only exists at the group end, so firing
+            # on every mid-group cadence hit would re-evaluate the SAME
+            # state k/eval_every times (ADVICE r2). Fire iff any step in
+            # (step_before, step] crossed the cadence boundary.
+            if (
+                self.dev_loader is not None
+                and step // cfg.eval_every_iter > step_before // cfg.eval_every_iter
+            ):
+                self.evaluate(self.dev_loader, "dev/")
+            if step // cfg.save_every_iter > step_before // cfg.save_every_iter:
+                self.save()
 
         group: list = []
         group_sig = None

@@ -123,11 +123,24 @@ def main(
         from asr_chinese_e2e_tpu.train.train_step import make_multi_step
 
         multi = make_multi_step(train_step)
-        stacked = [
-            jax.device_put(np.broadcast_to(np.asarray(a), (spd,) + a.shape))
-            for a in [host_batch[k] for k in (
-                "wave", "wave_lengths", "labels", "label_lengths")]
-        ]
+        stacked_host = {
+            k: np.broadcast_to(np.asarray(host_batch[k]),
+                               (spd,) + host_batch[k].shape).copy()
+            for k in ("wave", "wave_lengths", "labels", "label_lengths")
+        }
+        if mesh is not None:
+            # batch axis (axis 1) must shard over `data` like the trainer's
+            # put_host_batch_stacked — plain device_put would commit the
+            # stack to one device and clash with the replicated state
+            from asr_chinese_e2e_tpu.parallel.sharding import (
+                put_host_batch_stacked,
+            )
+
+            put = put_host_batch_stacked(mesh, stacked_host)
+        else:
+            put = {k: jax.device_put(v) for k, v in stacked_host.items()}
+        stacked = [put[k] for k in (
+            "wave", "wave_lengths", "labels", "label_lengths")]
 
         def train_step(state, *a):  # noqa: F811 — same call shape
             return multi(state, *stacked, a[-1])

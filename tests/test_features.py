@@ -127,6 +127,35 @@ def test_spec_augment_shapes_and_fill():
     assert np.all(np.asarray(out)[1, 40:] == 0)
 
 
+def test_spec_mask_draws_are_uniform():
+    """The start/width draws must be exactly uniform (round-2 code used
+    `randint(0, 1<<30) % hi`, which is modulo-biased)."""
+    from asr_chinese_e2e_tpu.data.features import _spec_mask
+
+    b, dim, param = 4096, 7, 2  # small dim so chi-square has power
+    # param=2 -> cap in {0,1}; with cap=1, width in {0}, so masks are empty —
+    # instead check the *start* distribution by reading it off single-column
+    # masks with cap forced wide: use param = dim so starts cover the range.
+    masks = np.asarray(_spec_mask(jax.random.PRNGKey(7), b, dim, dim))
+    # rows with a non-empty mask: first masked column == start
+    nz = masks.any(axis=1)
+    starts = masks.argmax(axis=1)[nz]
+    # chi-square against the exact mixture: cap ~ U{0..dim-1}; a row is
+    # non-empty iff width >= 1, with P(width>=1 | cap=c) = (c-1)/c (width ~
+    # U[0, max(c,1)) so caps 0 and 1 never mask); start | cap=c ~
+    # U{0..dim-c-1}, independent of width. So
+    #   P(start=s | nonempty) ∝ sum_{c>=2} ((c-1)/c) / (dim-c) · [s < dim-c]
+    probs = np.zeros(dim)
+    for c in range(2, dim):
+        probs[: dim - c] += ((c - 1) / c) / (dim - c)
+    probs /= probs.sum()
+    counts = np.bincount(starts, minlength=dim).astype(float)
+    expected = probs * counts.sum()
+    chi2 = np.sum((counts - expected) ** 2 / np.maximum(expected, 1e-9))
+    # dof = dim-1 = 6; 99.9th percentile of chi2(6) ~ 22.5
+    assert chi2 < 22.5, (chi2, counts, expected)
+
+
 def test_parse_batch_end_to_end():
     rng = np.random.RandomState(5)
     lengths = np.array([16000, 12800])

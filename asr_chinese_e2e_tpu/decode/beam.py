@@ -47,13 +47,27 @@ _SPECIAL_SUPPRESS = BOS_ID + 1  # ids [0, BOS_ID] masked; EOS stays live
 class BeamResult:
     """n-best per utterance: tokens (B, K, L) (BOS stripped), scores (B, K),
     finished (B, K) — True if the hyp emitted EOS before max_len; sorted
-    best-first."""
+    best-first.
+
+    The fields may hold DEVICE arrays: construction does not synchronise
+    with the device, so a caller can dispatch the next batch's search
+    before reading this one's results (double-buffered corpus decode).
+    ``materialize()`` — called implicitly by ``nbest_ids`` — blocks once
+    and converts everything to host numpy."""
 
     tokens: np.ndarray
     scores: np.ndarray
     finished: np.ndarray
 
+    def materialize(self) -> "BeamResult":
+        if not isinstance(self.tokens, np.ndarray):
+            self.tokens = np.asarray(self.tokens)
+            self.scores = np.asarray(self.scores)
+            self.finished = np.asarray(self.finished)
+        return self
+
     def nbest_ids(self, nbest: int = 1) -> List[List[List[int]]]:
+        self.materialize()
         out = []
         for b in range(self.tokens.shape[0]):
             hyps = []
@@ -173,7 +187,7 @@ def beam_search(
         )
         cache[key] = fn
     tokens, scores, finished = fn(params, enc_out, enc_lengths)
-    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
+    return BeamResult(tokens, scores, finished)  # device arrays; no sync
 
 
 _JIT_CACHE = ModelJitCache()

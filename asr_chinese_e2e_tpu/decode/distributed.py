@@ -118,7 +118,7 @@ def distributed_beam_search(
     enc_out = jax.device_put(enc_out, row_sh)
     enc_lengths = jax.device_put(enc_lengths, row_sh)
     tokens, scores, finished = fn(params, enc_out, enc_lengths)
-    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
+    return BeamResult(tokens, scores, finished)  # device arrays; no sync
 
 
 def exchange_scores(local_scores: jnp.ndarray, axis_name: str) -> jnp.ndarray:

@@ -323,7 +323,7 @@ def joint_beam_search(
         )
         cache[key] = fn
     tokens, scores, finished = fn(params, enc_out, enc_lengths, ctc_log_probs)
-    return BeamResult(np.asarray(tokens), np.asarray(scores), np.asarray(finished))
+    return BeamResult(tokens, scores, finished)  # device arrays; no sync
 
 
 _JIT_CACHE = ModelJitCache()

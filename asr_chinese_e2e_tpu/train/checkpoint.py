@@ -1,4 +1,4 @@
-"""Checkpoint / resume with best-pointer tracking (orbax-backed).
+"""Checkpoint / resume with best-pointer tracking (orbax-backed, async).
 
 The reference saves ``ckpt/<exp>/e{epoch}_s{step}.model`` + ``.opt`` pairs
 (``Trainer/trainer11.py:93-99``) and can restore model+optimizer+counters
@@ -13,6 +13,23 @@ finishes that design as one checkpoint tree:
 
 with ``latest`` / ``best`` tracking driven by ``reference='-loss'``
 semantics (``trainer11.py:26,43``: '-' prefix means lower is better).
+
+TPU-production posture (SURVEY §5.4):
+
+- **Async save**: ``save()`` stages device arrays to host (orbax
+  ``AsyncCheckpointer`` does this synchronously, so the train step's
+  donated buffers are safe to reuse immediately) and serializes in a
+  background thread — the hot loop never blocks on filesystem IO. The
+  barrier moves to the *next* save / restore / explicit ``wait()``.
+- **Crash consistency**: ``index.json`` (latest/best pointers) is only
+  updated AFTER the async commit finishes (``_finalize_pending``), so a
+  crash mid-save can never leave ``latest`` pointing at a torn
+  checkpoint — restart-from-latest always restores the last *committed*
+  state.
+- **Multi-host safety**: every process participates in the orbax save
+  (it coordinates sharded writes itself), but ``meta.json`` /
+  ``index.json`` writes and GC deletion run on process 0 only — no racing
+  writers on a shared filesystem.
 """
 
 from __future__ import annotations
@@ -34,15 +51,39 @@ def _metric_better(reference: str, new: float, old: Optional[float]) -> bool:
     return new < old if reference.startswith("-") else new > old
 
 
+def _is_proc0() -> bool:
+    return jax.process_index() == 0
+
+
+# drain in-flight async saves before interpreter teardown — otherwise
+# orbax's background commit threads race Python shutdown and die noisily
+# (and the last checkpoint of a run could be torn)
+import atexit
+import weakref
+
+_LIVE_MANAGERS: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_live_managers() -> None:
+    for mgr in list(_LIVE_MANAGERS):
+        try:
+            mgr.wait()
+        except Exception:
+            pass
+
+
 class CheckpointManager:
     def __init__(self, directory: str, reference: str = "-loss", max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.reference = reference
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         self._mgr_opts = max_to_keep
         self._index_path = os.path.join(self.directory, "index.json")
         self._index = self._load_index()
+        self._pending: Optional[dict] = None  # save in flight, not yet indexed
+        _LIVE_MANAGERS.add(self)
 
     def _load_index(self) -> dict:
         if os.path.exists(self._index_path):
@@ -51,12 +92,15 @@ class CheckpointManager:
         return {"latest": None, "best": None, "best_metric": None, "all": []}
 
     def _write_index(self) -> None:
-        with open(self._index_path, "w") as f:
+        if not _is_proc0():
+            return
+        tmp = self._index_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self._index, f, indent=2)
+        os.replace(tmp, self._index_path)  # atomic pointer update
 
-    def _step_dir(self, epoch: int, step: int) -> str:
-        # file naming parity: e{epoch}_s{step} (trainer11.py:93-99)
-        return os.path.join(self.directory, f"e{epoch}_s{step}")
+    def _step_dir(self, name: str) -> str:
+        return os.path.join(self.directory, name)
 
     def save(
         self,
@@ -66,8 +110,15 @@ class CheckpointManager:
         vocab_fingerprint: str | None = None,
         metric: float | None = None,
     ) -> str:
+        """Start an async save; returns immediately after device→host
+        staging. The previous save (if still in flight) is drained first —
+        at most one outstanding save, which also finalizes its index entry.
+        """
+        self.wait()
         step = int(state.step)
-        path = self._step_dir(epoch, step)
+        # file naming parity: e{epoch}_s{step} (trainer11.py:93-99)
+        name = f"e{epoch}_s{step}"
+        path = self._step_dir(name)
         tree = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -75,20 +126,33 @@ class CheckpointManager:
             "epoch": epoch,
         }
         self._ckptr.save(os.path.join(path, "state"), tree, force=True)
-        self._ckptr.wait_until_finished()
-        meta = {
-            "epoch": epoch,
-            "step": step,
-            "vocab_fingerprint": vocab_fingerprint,
-            "config": config.to_dict() if config is not None else None,
-            "metric": metric,
-        }
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=2, default=str)
+        if _is_proc0():
+            os.makedirs(path, exist_ok=True)  # orbax commits `state` later
+            meta = {
+                "epoch": epoch,
+                "step": step,
+                "vocab_fingerprint": vocab_fingerprint,
+                "config": config.to_dict() if config is not None else None,
+                "metric": metric,
+            }
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=2, default=str)
+        self._pending = {"name": name, "metric": metric}
+        return path
 
-        name = os.path.basename(path)
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) commits, then publish its
+        index entry (latest/best pointers) and GC old checkpoints."""
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            self._finalize_pending()
+
+    def _finalize_pending(self) -> None:
+        name, metric = self._pending["name"], self._pending["metric"]
+        self._pending = None
         self._index["latest"] = name
-        self._index["all"].append(name)
+        if name not in self._index["all"]:
+            self._index["all"].append(name)
         if metric is not None and _metric_better(
             self.reference, metric, self._index["best_metric"]
         ):
@@ -96,7 +160,6 @@ class CheckpointManager:
             self._index["best_metric"] = metric
         self._gc()
         self._write_index()
-        return path
 
     def _gc(self) -> None:
         keep = set(
@@ -106,11 +169,12 @@ class CheckpointManager:
         while len(extra) + len(keep) > self._mgr_opts and extra:
             victim = extra.pop(0)
             self._index["all"].remove(victim)
-            vdir = os.path.join(self.directory, victim)
-            if os.path.isdir(vdir):
-                import shutil
+            if _is_proc0():
+                vdir = self._step_dir(victim)
+                if os.path.isdir(vdir):
+                    import shutil
 
-                shutil.rmtree(vdir)
+                    shutil.rmtree(vdir)
 
     def restore(
         self, which: str = "latest", template: TrainState | None = None
@@ -119,10 +183,11 @@ class CheckpointManager:
 
         ``template`` (an abstract-or-concrete TrainState with the right
         structure) is required for sharded/typed restore."""
+        self.wait()  # never read past a save still in flight
         name = self._index.get(which, None) if which in ("latest", "best") else which
         if name is None:
             raise FileNotFoundError(f"no '{which}' checkpoint in {self.directory}")
-        path = self._step_dir(0, 0).replace("e0_s0", name)
+        path = self._step_dir(name)
         target = None
         if template is not None:
             target = {
@@ -132,7 +197,7 @@ class CheckpointManager:
                 "epoch": 0,
             }
             target = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        tree = self._ckptr.restore(os.path.join(path, "state"), target)
+        tree = self._ckptr.restore(os.path.join(path, "state"), args=ocp.args.StandardRestore(target) if target is not None else None)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         state = TrainState(
@@ -142,8 +207,10 @@ class CheckpointManager:
 
     @property
     def latest_name(self) -> Optional[str]:
+        self.wait()
         return self._index["latest"]
 
     @property
     def best_name(self) -> Optional[str]:
+        self.wait()
         return self._index["best"]

@@ -17,6 +17,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -25,6 +26,178 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (one chip)
+
+
+def analytic_train_flops(
+    cfg, feat_cfg, vocab_size: int, batch: int, n_samples: int, label_len: int
+) -> float:
+    """Analytic matmul FLOPs for ONE train step (fwd + bwd ≈ 3× fwd).
+
+    Counts the MXU-bound matmuls only (projections, attention einsums,
+    FFNs, vocab heads, DFT-as-matmul fbank); elementwise/softmax/norm work
+    is bandwidth-, not FLOP-, bound and excluded — standard MFU accounting.
+    """
+    d = cfg.d_model
+    ff = cfg.d_ff
+    le, ld = cfg.num_encoder_layers, cfg.num_decoder_layers
+    t_frames = feat_cfg.num_frames(n_samples)
+    t = feat_cfg.num_lfr_frames(t_frames)
+    feat_dim = feat_cfg.feature_dim
+    l = label_len + 1  # decoder is BOS-prefixed
+    v = vocab_size
+    n_bins = feat_cfg.n_fft // 2 + 1
+    win = feat_cfg.win_length
+
+    fwd = 0.0
+    # fbank: windowed DFT as matmul (re+im) + mel projection
+    fwd += t_frames * win * (2 * n_bins) * 2
+    fwd += t_frames * n_bins * feat_cfg.n_mels * 2
+    # encoder
+    fwd += t * feat_dim * d * 2  # input proj
+    fwd += le * (4 * t * d * d * 2)  # QKVO
+    fwd += le * (2 * t * t * d * 2)  # scores + context
+    fwd += le * (2 * t * d * ff * 2)  # FFN
+    # heads
+    ctc_w = float(cfg.get("ctc_weight", 0.0))
+    if ctc_w > 0:
+        fwd += t * d * v * 2  # CTC head
+    # decoder
+    fwd += ld * (4 * l * d * d * 2)  # self QKVO
+    fwd += ld * (2 * l * l * d * 2)  # self attn
+    fwd += ld * (2 * l * d * d * 2)  # cross Q,O
+    fwd += ld * (2 * t * d * d * 2)  # cross K,V
+    fwd += ld * (2 * l * t * d * 2)  # cross attn
+    fwd += ld * (2 * l * d * ff * 2)  # FFN
+    fwd += l * d * v * 2  # output proj (tied embed)
+    return 3.0 * fwd * batch
+
+
+def via_trainer_main(
+    seconds: float = 8.0,
+    batch: int = 64,
+    vocab_size: int = 4233,
+    ctc_weight: float = 0.3,
+    dtype: str = "bfloat16",
+    n_batches: int = 120,
+    attn_impl: str = "fused",
+    fbank_impl: str = "pallas",
+    steps_per_dispatch: int = 1,
+    corpus_dir: str = "/tmp/asr_bench_corpus",
+    **model_overrides,
+):
+    """Integrated-Trainer throughput: drive the REAL ``Trainer.train_epoch``
+    — BucketedLoader (native IO + prefetch), ``_put_batch``, metrics drain,
+    throughput meter — on a synthetic corpus at flagship shapes. Epoch 0
+    compiles + warms; epoch 1 is measured wall-to-wall (round-2 VERDICT #1:
+    the headline number must be the shipped recipe's number, at
+    loader-real label shapes)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from asr_chinese_e2e_tpu.data.batching import BucketedLoader
+    from asr_chinese_e2e_tpu.data.features import FeatureConfig
+    from asr_chinese_e2e_tpu.data.vocab import Vocab
+    from asr_chinese_e2e_tpu.models.transformer import (
+        SpeechTransformer,
+        default_config,
+    )
+    from asr_chinese_e2e_tpu.train.optimizer import (
+        default_train_config,
+        make_optimizer,
+    )
+    from asr_chinese_e2e_tpu.train.trainer import Trainer
+    from asr_chinese_e2e_tpu.utils.synth import make_synth_corpus
+
+    # fixed-duration corpus (one bucket) for comparability with the raw-step
+    # bench; tone 0.4 s -> 8 s = 20 chars, the raw bench's label_len.
+    # Disk economy: a pool of unique wavs, manifest rows cycle through it
+    # (the loader's IO path reads a real file per row either way).
+    n_utts = n_batches * batch
+    n_unique = min(n_utts, 640)
+    paths = make_synth_corpus(
+        corpus_dir, n_train=n_unique, n_dev=0, n_test=0,
+        seconds_range=(seconds, seconds), tone_sec=seconds / 20.0,
+    )
+    if n_utts > n_unique:
+        rows = open(paths["train"]).read().splitlines()
+        expanded = os.path.join(corpus_dir, f"train_x{n_utts}.jsonl")
+        with open(expanded, "w") as f:
+            for i in range(n_utts):
+                f.write(rows[i % n_unique] + "\n")
+        paths["train"] = expanded
+    vocab = Vocab.load(paths["vocab"])
+    assert vocab.vocab_size == vocab_size
+
+    feat_cfg = FeatureConfig(fbank_impl=fbank_impl)
+    cfg = default_config().build(
+        ctc_weight=ctc_weight, dtype=dtype, input_dim=feat_cfg.feature_dim,
+        attn_impl=attn_impl, **model_overrides,
+    )
+    exp_root = tempfile.mkdtemp(prefix="bench_via_trainer_")
+    tcfg = default_train_config().combine(cfg).build(
+        spec_augment=True, exp_root=exp_root, exp_name="bench",
+        log_every_iter=50, eval_every_iter=1 << 30, save_every_iter=1 << 30,
+        num_epoch=2, steps_per_dispatch=int(steps_per_dispatch),
+        eval_decode="none",
+    )
+    model = SpeechTransformer(cfg, vocab.vocab_size)
+    tx = make_optimizer(tcfg, cfg.d_model)
+    loader = BucketedLoader(
+        paths["train"], vocab, batch_size=batch,
+        max_target_len=tcfg.get("max_target_len", 64),
+    )
+    log(f"loader: {len(loader)} batches/epoch, label boundaries "
+        f"{loader.label_boundaries}")
+    trainer = Trainer(model, tx, tcfg, feat_cfg, vocab, train_loader=loader)
+
+    t0 = time.perf_counter()
+    trainer._init_state()
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    trainer.train_epoch(0)  # compile + warm
+    jax.block_until_ready(trainer.state.step)
+    log(f"epoch 0 (compile+warm): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    trainer.train_epoch(1)
+    jax.block_until_ready(trainer.state.step)
+    wall = time.perf_counter() - t0
+    n_steps_done = len(loader)
+    audio_s = n_steps_done * batch * seconds
+    n_chips = trainer.throughput.n_chips
+    value = audio_s / wall / n_chips
+    steps_per_s = n_steps_done / wall
+    label_boundary = next(iter(loader.label_boundaries.values()))
+    flops = analytic_train_flops(
+        cfg, feat_cfg, vocab.vocab_size, batch, int(seconds * 16000),
+        label_boundary,
+    )
+    mfu = flops * steps_per_s / V5E_PEAK_BF16 / n_chips
+    log(
+        f"epoch 1: {n_steps_done} steps in {wall:.2f}s -> "
+        f"{steps_per_s:.2f} steps/s, {value:.1f} audio-s/s/chip "
+        f"(labels at L={label_boundary}, MFU {mfu:.1%}); meter: "
+        f"{trainer.throughput.audio_seconds_per_sec_per_chip:.1f}"
+    )
+    shutil.rmtree(exp_root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "integrated_trainer_throughput_audio_seconds_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": None,
+                "steps_per_s": round(steps_per_s, 3),
+                "label_boundary": label_boundary,
+                "mfu": round(mfu, 4),
+            }
+        )
+    )
 
 
 def main(
@@ -165,9 +338,14 @@ def main(
     steps_per_s = n_steps * spd / wall
     audio_s_per_s_per_chip = steps_per_s * batch * seconds / n_chips
     loss_f = float(np.asarray(metrics["loss"]).reshape(-1)[-1])
+    flops = analytic_train_flops(
+        cfg, feat_cfg, vocab_size, batch, samples, label_len
+    )
+    mfu = flops * steps_per_s / V5E_PEAK_BF16 / n_chips
     log(
         f"{n_steps * spd} steps in {wall:.2f}s -> {steps_per_s:.2f} steps/s, "
-        f"{audio_s_per_s_per_chip:.1f} audio-s/s/chip (loss={loss_f:.3f})"
+        f"{audio_s_per_s_per_chip:.1f} audio-s/s/chip (loss={loss_f:.3f}, "
+        f"{flops / 1e12:.2f} TFLOP/step, MFU {mfu:.1%})"
     )
 
     print(
@@ -177,6 +355,9 @@ def main(
                 "value": round(audio_s_per_s_per_chip, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": None,
+                "steps_per_s": round(steps_per_s, 3),
+                "flops_per_step": flops,
+                "mfu": round(mfu, 4),
             }
         )
     )
@@ -186,4 +367,7 @@ if __name__ == "__main__":
     from asr_chinese_e2e_tpu.utils.cli import parse_kwargs
 
     _, kwargs = parse_kwargs(sys.argv[1:])
-    main(**kwargs)
+    if kwargs.pop("via_trainer", False):
+        via_trainer_main(**kwargs)
+    else:
+        main(**kwargs)

@@ -131,6 +131,7 @@ def recognize(
     ctc_beam_impl: str = "device",  # on-chip prefix beam (host = exact ref)
     ctc_prune: int = 30,  # joint mode: CTC-scored candidates per hyp
     mesh_data: int = 0,  # >0 or -1: data-parallel decode over a device mesh
+    pipeline_depth: int = 1,  # batches in flight beyond the one draining
     out: str = None,
     **_,
 ):
@@ -163,27 +164,23 @@ def recognize(
     encode_fn = _jitted(model, "encode", lambda p, w, wl: model.apply(
         p, *parse_batch(w, wl, feat_cfg), method="encode"
     ))
-    for chunk, wave, lengths in batched(
-        records, batch_size, max_samples, feat_cfg.sample_rate
-    ):
+    ctc_lp_fn = _jitted(model, "ctc_lp", lambda p, eo: model.apply(
+        p, eo, method="ctc_log_probs"
+    ))
+
+    def dispatch(chunk, wave, lengths):
+        """Enqueue the full device program(s) for one chunk WITHOUT reading
+        any result back — returns a pending handle of device arrays."""
         enc_out, enc_lens = encode_fn(
             params, jnp.asarray(wave), jnp.asarray(lengths)
         )
-
-        nbest_out = []  # per utt: [(ids, score)]
         if mode == "ctc_greedy":
-            lp = _jitted(model, "ctc_lp", lambda p, eo: model.apply(
-                p, eo, method="ctc_log_probs"
-            ))(params, enc_out)
-            for ids in ctc_greedy_decode(lp, enc_lens):
-                nbest_out.append([(ids, 0.0)])
-        elif mode == "attention_greedy":
-            tokens, scores = attention_greedy_decode(
+            return chunk, (ctc_lp_fn(params, enc_out), enc_lens)
+        if mode == "attention_greedy":
+            return chunk, attention_greedy_decode(
                 model, params, enc_out, enc_lens, max_decode_len
             )
-            for ids, s in zip(tokens_to_ids(tokens), np.asarray(scores)):
-                nbest_out.append([(ids, float(s))])
-        elif mode == "beam":
+        if mode == "beam":
             if mesh is not None:
                 from asr_chinese_e2e_tpu.decode.distributed import (
                     distributed_beam_search,
@@ -198,12 +195,8 @@ def recognize(
                     model, params, enc_out, enc_lens, beam_size,
                     max_decode_len, length_penalty,
                 )
-            ids_nb = res.nbest_ids(nbest)
-            for b in range(len(chunk)):
-                nbest_out.append(
-                    [(ids_nb[b][k], float(res.scores[b, k])) for k in range(len(ids_nb[b]))]
-                )
-        elif mode == "joint":
+            return chunk, res
+        if mode == "joint":
             # one-pass joint CTC/attention beam (strongest hybrid decode)
             from asr_chinese_e2e_tpu.decode.joint import joint_beam_search
 
@@ -211,15 +204,12 @@ def recognize(
                 model, params, enc_out, enc_lens, beam_size, max_decode_len,
                 ctc_weight=ctc_weight, ctc_prune=ctc_prune,
             )
-            ids_nb = res.nbest_ids(nbest)
-            for b in range(len(chunk)):
-                nbest_out.append(
-                    [(ids_nb[b][k], float(res.scores[b, k])) for k in range(len(ids_nb[b]))]
-                )
-        elif mode == "rescore":
-            lp = _jitted(model, "ctc_lp", lambda p, eo: model.apply(
-                p, eo, method="ctc_log_probs"
-            ))(params, enc_out)
+            return chunk, res
+        if mode == "rescore":
+            # host/device ping-pong (the host n-best feeds the rescore
+            # forward), so this mode drains inside dispatch — the pipeline
+            # still overlaps its wav IO with device compute
+            lp = ctc_lp_fn(params, enc_out)
             if ctc_beam_impl == "device":
                 from asr_chinese_e2e_tpu.decode.ctc_prefix_device import (
                     ctc_prefix_beam_device,
@@ -237,11 +227,33 @@ def recognize(
             best = attention_rescore(
                 model, params, enc_out, enc_lens, ctc_nbest, ctc_weight
             )
-            for ids in best:
-                nbest_out.append([(ids, 0.0)])
-        else:
-            raise SystemExit(f"unknown mode {mode}")
+            return chunk, [[(ids, 0.0)] for ids in best]
+        raise SystemExit(f"unknown mode {mode}")
 
+    def drain(chunk, pending):
+        """Read one chunk's results back (the only device sync)."""
+        nbest_out = []  # per utt: [(ids, score)]
+        if mode == "ctc_greedy":
+            lp, enc_lens = pending
+            for ids in ctc_greedy_decode(lp, enc_lens):
+                nbest_out.append([(ids, 0.0)])
+        elif mode == "attention_greedy":
+            tokens, scores = pending
+            for ids, s in zip(tokens_to_ids(tokens), np.asarray(scores)):
+                nbest_out.append([(ids, float(s))])
+        elif mode in ("beam", "joint"):
+            res = pending
+            ids_nb = res.nbest_ids(nbest)
+            for b in range(len(chunk)):
+                nbest_out.append(
+                    [(ids_nb[b][k], float(res.scores[b, k]))
+                     for k in range(len(ids_nb[b]))]
+                )
+        else:  # rescore drained in dispatch
+            nbest_out = pending
+        return nbest_out
+
+    def consume(chunk, nbest_out):
         for record, hyps in zip(chunk, nbest_out):
             utt_id = record["wave"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
             outputs = []
@@ -261,6 +273,29 @@ def recognize(
             if "tgt" in record:
                 hyps_all.append(best_text)
                 refs_all.append(record["tgt"])
+
+    # Double-buffered corpus decode (round-2 VERDICT #5): the host preps
+    # batch n+1 (wav IO on a prefetch thread) and dispatches its device
+    # programs BEFORE draining batch n's results, so corpus wall throughput
+    # tracks device time instead of paying host-prep + dispatch latency
+    # serially per batch — the same latency steps_per_dispatch amortizes in
+    # training. pipeline_depth=0 restores the serial behavior.
+    import collections
+
+    from asr_chinese_e2e_tpu.data.batching import _prefetched
+
+    chunks = batched(records, batch_size, max_samples, feat_cfg.sample_rate)
+    if pipeline_depth > 0:
+        chunks = _prefetched(chunks, depth=max(2, pipeline_depth + 1))
+    pending_q: "collections.deque" = collections.deque()
+    for chunk, wave, lengths in chunks:
+        pending_q.append(dispatch(chunk, wave, lengths))
+        while len(pending_q) > pipeline_depth:
+            c, p = pending_q.popleft()
+            consume(c, drain(c, p))
+    while pending_q:
+        c, p = pending_q.popleft()
+        consume(c, drain(c, p))
 
     if refs_all:
         cer = corpus_cer(hyps_all, refs_all)

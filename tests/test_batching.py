@@ -36,8 +36,38 @@ def test_static_bucket_shapes_and_drop_last(tmp_path):
         assert b.wave.shape[0] == 4
         assert b.wave.shape[1] == b.bucket  # padded to bucket boundary
         assert b.bucket in (32000, 64000)
-        assert b.labels.shape == (4, 8)
+        # labels pad to the bucket's label boundary (max target 2 or 4
+        # tokens -> _round_label_pad -> 7), not the global max_target_len
+        assert b.labels.shape == (4, 7)
         assert (b.wave_lengths <= b.bucket).all()
+
+
+def test_label_bucketing_off_pads_to_max(tmp_path):
+    mpath, vocab = setup_data(tmp_path)
+    loader = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, seed=1,
+        label_bucketing=False,
+    )
+    for b in loader.epoch(0):
+        assert b.labels.shape == (4, 8)
+
+
+def test_label_boundary_caps_at_max_target_len(tmp_path):
+    records = []
+    long_tgt = "你好世界" * 5  # 20 tokens -> _round_label_pad 23 > cap 16
+    for i in range(4):
+        p = str(tmp_path / f"x{i}.wav")
+        write_wav(p, n_samples=16000)
+        records.append({"wave": p, "tgt": long_tgt[: 13 + i], "frames": 16000})
+    mpath = str(tmp_path / "train.jsonl")
+    write_manifest(mpath, records)
+    v = Vocab()
+    v.consume_sentence_list([long_tgt])
+    vocab = v.build()
+    loader = BucketedLoader(mpath, vocab, batch_size=4, max_target_len=16)
+    b = next(iter(loader.epoch(0)))
+    assert b.labels.shape == (4, 16)
+    assert int(b.label_lengths.max()) == 16
 
 
 def test_epoch_determinism_and_reshuffle(tmp_path):
@@ -62,6 +92,76 @@ def test_host_sharding_disjoint_and_complete(tmp_path):
             seen.extend(batch.wave_lengths.tolist())
     # 12 utts split 6/6, all consumed exactly once across hosts
     assert len(seen) == 12
+
+
+def test_multihost_lockstep_schedule(tmp_path):
+    """SPMD safety: with skewed duration distributions, every host must emit
+    the SAME number of batches with the SAME bucket sequence every epoch
+    (round-2 VERDICT #3), while records stay disjoint and complete."""
+    # skewed corpus: 29 short, 11 medium, 5 long (primes -> awkward splits)
+    records = []
+    p = str(tmp_path / "w.wav")
+    write_wav(p, n_samples=16000)
+    pm = str(tmp_path / "m.wav")
+    write_wav(pm, n_samples=48000)
+    pl = str(tmp_path / "l.wav")
+    write_wav(pl, n_samples=80000)
+    for i in range(29):
+        records.append({"wave": p, "tgt": f"你好", "frames": 16000, "id": f"s{i}"})
+    for i in range(11):
+        records.append({"wave": pm, "tgt": "世界你好", "frames": 48000, "id": f"m{i}"})
+    for i in range(5):
+        records.append({"wave": pl, "tgt": "你好你好世界", "frames": 80000, "id": f"l{i}"})
+    mpath = str(tmp_path / "train.jsonl")
+    write_manifest(mpath, records)
+    v = Vocab()
+    v.consume_sentence_list(["你好世界"])
+    vocab = v.build()
+
+    for num_hosts in (2, 4, 8):
+        for seed in (0, 3, 11):
+            for epoch in (0, 1, 2):
+                schedules, all_ids = [], []
+                for host in range(num_hosts):
+                    loader = BucketedLoader(
+                        mpath, vocab, batch_size=2, seed=seed,
+                        num_hosts=num_hosts, host_id=host, prefetch=0,
+                    )
+                    assert len(loader) == sum(1 for _ in loader.epoch(epoch))
+                    sched = []
+                    for b in loader.epoch(epoch):
+                        sched.append((b.bucket, b.wave.shape, b.labels.shape))
+                        all_ids.extend(b.wave_lengths.tolist())
+                    schedules.append(sched)
+                # identical batch count AND bucket/shape sequence on every host
+                assert all(s == schedules[0] for s in schedules[1:]), (
+                    num_hosts, seed, epoch, [len(s) for s in schedules])
+                # disjoint + complete: total rows == num_global_batches * gsz
+                gsz = 2 * num_hosts
+                assert len(all_ids) == len(schedules[0]) * gsz
+
+
+def test_multihost_records_disjoint_complete(tmp_path):
+    """Each record appears on exactly one host per epoch."""
+    records = []
+    for i in range(16):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, n_samples=16000 + i)  # unique length tags the record
+        records.append({"wave": p, "tgt": "你好", "frames": 16000 + i})
+    mpath = str(tmp_path / "train.jsonl")
+    write_manifest(mpath, records)
+    v = Vocab()
+    v.consume_sentence_list(["你好"])
+    vocab = v.build()
+    seen = []
+    for host in range(4):
+        loader = BucketedLoader(
+            mpath, vocab, batch_size=2, seed=5, num_hosts=4, host_id=host,
+            prefetch=0,
+        )
+        for b in loader.epoch(0):
+            seen.extend(b.wave_lengths.tolist())
+    assert sorted(seen) == sorted(16000 + i for i in range(16))
 
 
 def test_wave_normalised(tmp_path):

@@ -84,3 +84,94 @@ def test_checkpoint_name_parity(tmp_path):
     state, _ = train_step(state, *args, jax.random.PRNGKey(0))
     path = mgr.save(state, epoch=3)
     assert path.endswith("e3_s1")
+
+
+class _SlowCkptr:
+    """Slow-filesystem mock: stages to host synchronously (orbax's
+    donation-safety contract), then commits through the real checkpointer
+    on a background thread after ``delay`` seconds."""
+
+    def __init__(self, inner, delay: float):
+        import jax as _jax
+
+        self.inner, self.delay = inner, delay
+        self._jax = _jax
+        self._thread = None
+
+    def save(self, path, tree, force=True):
+        import threading
+        import time
+
+        staged = self._jax.tree.map(np.asarray, tree)
+
+        def commit():
+            time.sleep(self.delay)
+            self.inner.save(path, staged, force=force)
+            self.inner.wait_until_finished()
+
+        self._thread = threading.Thread(target=commit, daemon=True)
+        self._thread.start()
+
+    def wait_until_finished(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self.inner.wait_until_finished()
+
+    def restore(self, *a, **k):
+        return self.inner.restore(*a, **k)
+
+
+def test_async_save_overlaps_training(tmp_path):
+    """Round-2 VERDICT #4: a train step must complete while a (slow-FS)
+    save is in flight, the latest pointer must only publish after commit,
+    and the restored state must be bitwise the state at save time."""
+    import time
+
+    mgr, train_step, state, args, cfg = setup(tmp_path)
+    rng = jax.random.PRNGKey(1)
+    state, _ = train_step(state, *args, rng)
+    snapshot = jax.tree.map(np.asarray, state.params)  # host copy pre-save
+
+    mgr._ckptr = _SlowCkptr(mgr._ckptr, delay=1.5)
+    t0 = time.perf_counter()
+    mgr.save(state, epoch=0, metric=1.0)
+    assert time.perf_counter() - t0 < 1.0, "save() blocked on the slow commit"
+
+    # hot loop continues while the commit is in flight
+    for _ in range(2):
+        state, m = train_step(state, *args, rng)
+    assert np.isfinite(float(m["loss"]))
+    assert mgr._ckptr._thread.is_alive(), "commit finished too fast to test overlap"
+
+    # crash consistency: a fresh manager (simulated restart) must NOT see
+    # the uncommitted checkpoint as latest
+    fresh = CheckpointManager(str(tmp_path / "ckpt"))
+    assert fresh._index["latest"] is None
+
+    mgr.wait()
+    assert mgr.latest_name == "e0_s1"
+    restored, _ = mgr.restore("latest", template=state)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(snapshot),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_meta_and_index_writes_gated_on_process_zero(tmp_path, monkeypatch):
+    """Non-zero processes participate in the orbax save but never write
+    meta.json/index.json (shared-FS race, round-2 VERDICT #4)."""
+    import os
+
+    from asr_chinese_e2e_tpu.train import checkpoint as ckpt_mod
+
+    mgr, train_step, state, args, cfg = setup(tmp_path)
+    monkeypatch.setattr(ckpt_mod, "_is_proc0", lambda: False)
+    state, _ = train_step(state, *args, jax.random.PRNGKey(0))
+    path = mgr.save(state, epoch=0, metric=2.0)
+    mgr.wait()
+    assert os.path.isdir(os.path.join(path, "state"))  # orbax tree written
+    assert not os.path.exists(os.path.join(path, "meta.json"))
+    assert not os.path.exists(str(tmp_path / "ckpt" / "index.json"))

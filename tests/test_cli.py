@@ -102,6 +102,7 @@ def test_recognize_cli_ctc_greedy(prepared):
     assert "cer" in results  # references present -> CER computed
 
 
+@pytest.mark.slow
 def test_recognize_cli_joint(prepared, tmp_path):
     """recognize --mode joint end-to-end on a tiny hybrid transformer
     experiment trained through the train CLI."""

@@ -1,5 +1,6 @@
 """Distributed rescoring collectives on the 8-device virtual mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_distributed_beam_indivisible_falls_back():
     np.testing.assert_array_equal(want.tokens, got.tokens)
 
 
+@pytest.mark.slow
 def test_trainer_eval_decode_beam_under_mesh(tmp_path):
     """Trainer eval_decode='beam' must run the distributed pipeline when a
     data mesh is active and still produce a finite decoded CER."""

@@ -1,5 +1,6 @@
 """Decoded-CER eval path in the trainer (eval_decode=ctc_greedy)."""
 
+import pytest
 import json
 import os
 
@@ -28,6 +29,7 @@ def test_eval_decode_ctc_greedy(corpus, tmp_path):  # noqa: F811
     assert 0.0 <= val <= 400.0
 
 
+@pytest.mark.slow
 def test_eval_decode_beam_and_joint(corpus, tmp_path):  # noqa: F811
     """The trainer's decoded-CER eval also runs with the beam and joint
     one-pass CTC/attention modes (needs a hybrid encoder-decoder)."""

@@ -53,6 +53,7 @@ def test_no_dropout_grads_match_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dropout_statistics_and_determinism():
     q, k, v = make(seed=2, T=40)
     lengths = jnp.asarray([40, 40])

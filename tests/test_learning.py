@@ -4,6 +4,9 @@ full stack — wav -> device fbank/CMVN/LFR -> BiLSTM -> CTC -> greedy
 decode. This is the strongest correctness signal available without the
 AISHELL corpus (none in this environment)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import os
 import wave as wavelib
 

@@ -3,6 +3,9 @@ the synthetic tone language and decode it correctly with BOTH the
 attention-greedy path and beam search — validating the decoder/beam stack
 on learned (not random) weights."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

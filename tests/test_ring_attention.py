@@ -1,5 +1,6 @@
 """Ring attention vs plain attention on the virtual mesh (SURVEY §5.7)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,6 +89,7 @@ def test_encoder_ring_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_encoder_ring_trains():
     """Ring attention must be differentiable end-to-end: one train step on
     a (data=2, model=2, seq=2) mesh produces finite loss and grads (the

@@ -1,5 +1,6 @@
 """BiLSTM/LAS model family: shapes, masking, decode-step consistency."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +95,7 @@ def test_example_model_runs():
     out = model.apply(params, feats, feat_lens, labels, label_lens)
     assert out["logits"].shape == (2, 5, VOCAB)
 
+@pytest.mark.slow
 def test_las_scan_matches_unroll():
     """The lifted-scan teacher-forced decoder must produce the same params
     tree and bit-matching logits as the Python-unrolled oracle, and its

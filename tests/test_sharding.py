@@ -2,6 +2,7 @@
 virtual CPU mesh — DP numerical parity, TP sharding rules, collective
 correctness, multi-chip dry run."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +68,7 @@ def _args(batch, sharding=None):
     return [jax.device_put(batch[k], sharding) for k in keys]
 
 
+@pytest.mark.slow
 def test_dp_loss_matches_single_device():
     """Data-parallel over 8 devices must produce the same loss/params as
     unsharded execution (XLA inserts the gradient reduction)."""
@@ -88,6 +90,7 @@ def test_dp_loss_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_replicated():
     """Tensor-parallel (model=2) sharded params must give the same loss."""
     state1, train_step, batch = _build(4)
@@ -159,6 +162,7 @@ def test_fused_attention_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_attention_sharded_grads_match():
     from asr_chinese_e2e_tpu.ops.fused_attention import (
         fused_attention,
@@ -188,6 +192,7 @@ def test_fused_attention_sharded_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
@@ -232,6 +237,7 @@ def test_state_shardings_mirror_adam_moments():
             assert s == want.spec, (pks, s, want.spec)
 
 
+@pytest.mark.slow
 def test_trainer_tp_shards_params_and_matches_replicated():
     """--mesh_model 2 must actually TP-shard the Trainer's state (params
     and Adam moments over `model`) and reproduce the replicated run's loss

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from asr_chinese_e2e_tpu.core.config import Config
 from asr_chinese_e2e_tpu.data.features import FeatureConfig
@@ -87,6 +88,7 @@ def test_ctc_only_loss_decreases():
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch():
     """grad_accum=N (microbatch scan) must reproduce the full-batch update
     exactly when microbatch losses are equal-weighted (uniform target
@@ -108,6 +110,7 @@ def test_grad_accum_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """remat=True (per-layer activation rematerialization) must not change
     the computation — identical loss and updated params."""
@@ -156,6 +159,7 @@ def test_grad_accum_indivisible_batch_raises():
         run_steps(model, tx, tcfg, 1, batch)
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_steps():
     """make_multi_step (k steps per dispatch) must reproduce k sequential
     train_step calls: same RNG streams (the step folds state.step into the
@@ -192,6 +196,7 @@ def test_multi_step_matches_sequential_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flat_optimizer_matches_per_leaf_updates():
     """flat_optimizer=True (optax.flatten: clip+Adam over one flat vector)
     must produce the same losses and params as the per-leaf chain."""

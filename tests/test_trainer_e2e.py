@@ -94,6 +94,7 @@ def test_e2e_train_eval_checkpoint(corpus, tmp_path):
     assert int(trainer.state.step) == 12
 
 
+@pytest.mark.slow
 def test_e2e_resume(corpus, tmp_path):
     trainer, _ = make_trainer(corpus, str(tmp_path / "exp1"), num_epoch=1)
     trainer.train()
@@ -119,6 +120,7 @@ def test_best_checkpoint_follows_dev_not_test(corpus, tmp_path, monkeypatch):
     assert trainer.ckpt.latest_name == "e2_s12"
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_matches_single_step(corpus, tmp_path):
     """steps_per_dispatch=2 (k same-bucket steps fused into one dispatch,
     train_step.make_multi_step) must log the SAME per-step loss stream as

@@ -154,6 +154,7 @@ def test_fused_impl_matches_xla_logits():
         np.testing.assert_allclose(lf[b, :n], lx[b, :n], rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_impl_grads_match_xla():
     """Hybrid-loss gradients through the fused decoder paths must match
     the XLA path (dropout off; loss ignores padded positions)."""

@@ -44,16 +44,23 @@ def _round_label_pad(n: int) -> int:
     return max(7, -(-(n + 1) // 8) * 8 - 1)
 
 
-def load_wav(path: str) -> np.ndarray:
-    """PCM16 wav -> float32 in [-1, 1), downmixing channels by mean
-    (parity: ``Predictor/data_handler/loader.py:5-17``)."""
+def load_wav(path: str, dtype=np.float32) -> np.ndarray:
+    """PCM16 wav -> float32 in [-1, 1) (parity:
+    ``Predictor/data_handler/loader.py:5-17``), downmixing channels by
+    mean. ``dtype=np.int16`` returns raw samples instead (the int16 wire
+    format; the device scales by 1/32768)."""
     with wavelib.open(path, "rb") as w:
         n_ch = w.getnchannels()
         width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
     if width != 2:
         raise ValueError(f"{path}: only PCM16 supported, got width {width}")
-    x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    xi = np.frombuffer(raw, dtype=np.int16)
+    if dtype == np.int16:
+        if n_ch > 1:
+            xi = np.rint(xi.reshape(-1, n_ch).mean(axis=1)).astype(np.int16)
+        return xi
+    x = xi.astype(np.float32) / 32768.0
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x
@@ -94,6 +101,7 @@ class BucketedLoader:
         prefetch: int = 2,
         feat_cfg=None,
         label_bucketing: bool = True,
+        wire_dtype: str = "float32",
     ) -> None:
         """``feat_cfg``: when set AND the manifest rows carry a
         ``"feature"`` path (predumped features, the reference's
@@ -152,6 +160,13 @@ class BucketedLoader:
         self.host_id = host_id
         self.io_threads = io_threads
         self.prefetch = prefetch
+        # "int16" ships raw PCM16 samples to the device (half the
+        # host->device bytes of float32 — significant when the transfer
+        # link, not HBM, is the wire); ``features.parse_batch`` scales by
+        # 1/32768 on device, bit-exact vs the float path for mono audio
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32|int16, got {wire_dtype}")
+        self.wire_dtype = wire_dtype
         self._native = None
         if use_native_io:
             from . import native
@@ -244,17 +259,23 @@ class BucketedLoader:
                 wave[i, :n] = x[:n]
                 wave_lengths[i] = n
         elif self._native is not None:
-            wave, wave_lengths = self._native.read_wav_batch(
+            read = (
+                self._native.read_wav_batch_i16
+                if self.wire_dtype == "int16"
+                else self._native.read_wav_batch
+            )
+            wave, wave_lengths = read(
                 [record["wave"] for record, _ in items],
                 boundary,
                 num_threads=self.io_threads,
             )
             wave_lengths = wave_lengths.astype(np.int32)
         else:
-            wave = np.zeros((bsz, boundary), dtype=np.float32)
+            dt = np.int16 if self.wire_dtype == "int16" else np.float32
+            wave = np.zeros((bsz, boundary), dtype=dt)
             wave_lengths = np.zeros((bsz,), dtype=np.int32)
             for i, (record, _) in enumerate(items):
-                x = load_wav(record["wave"])
+                x = load_wav(record["wave"], dtype=dt)
                 n = min(len(x), boundary)
                 wave[i, :n] = x[:n]
                 wave_lengths[i] = n

@@ -312,7 +312,13 @@ def parse_batch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, S) waveforms + sample lengths -> (B, T_lfr, feature_dim) features
     + frame lengths. Pipeline: fbank → log → [Δ/ΔΔ] → CMVN → [SpecAugment]
-    → LFR."""
+    → LFR.
+
+    Integer waveforms (the int16 wire format — half the host->device
+    bytes) are scaled to [-1, 1) here on device, bit-exact vs a host-side
+    ``x / 32768`` for mono PCM16."""
+    if jnp.issubdtype(wave.dtype, jnp.integer):
+        wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
     if cfg.fbank_impl == "pallas":
         from ..ops.fbank_pallas import log_mel_spectrogram_pallas
 

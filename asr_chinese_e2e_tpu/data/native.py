@@ -69,6 +69,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.wavio_read_batch_i16.restype = None
+        lib.wavio_read_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -120,6 +129,39 @@ def read_wav_batch(
     if bad.size:
         raise IOError(
             f"wavio_read_batch failed for {[paths[i] for i in bad[:3]]} "
+            f"(codes {lengths[bad[:3]].tolist()})"
+        )
+    return out, lengths
+
+
+def read_wav_batch_i16(
+    paths: List[str],
+    stride: int,
+    num_threads: int = 8,
+    out: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw PCM16 batch decode into a zero-padded (len(paths), stride) int16
+    batch — half the bytes of the float path; the device scales by 1/32768
+    (``features.parse_batch``). Returns (batch, lengths)."""
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, stride), np.int16)
+    lengths = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.wavio_read_batch_i16(
+        c_paths,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        stride,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    bad = np.where(lengths < 0)[0]
+    if bad.size:
+        raise IOError(
+            f"wavio_read_batch_i16 failed for {[paths[i] for i in bad[:3]]} "
             f"(codes {lengths[bad[:3]].tolist()})"
         )
     return out, lengths

@@ -86,6 +86,8 @@ def via_trainer_main(
     fbank_impl: str = "pallas",
     steps_per_dispatch: int = 1,
     corpus_dir: str = "/tmp/asr_bench_corpus",
+    wire_dtype: str = "int16",
+    log_every_iter: int = 50,
     **model_overrides,
 ):
     """Integrated-Trainer throughput: drive the REAL ``Trainer.train_epoch``
@@ -141,7 +143,8 @@ def via_trainer_main(
     exp_root = tempfile.mkdtemp(prefix="bench_via_trainer_")
     tcfg = default_train_config().combine(cfg).build(
         spec_augment=True, exp_root=exp_root, exp_name="bench",
-        log_every_iter=50, eval_every_iter=1 << 30, save_every_iter=1 << 30,
+        log_every_iter=int(log_every_iter),
+        eval_every_iter=1 << 30, save_every_iter=1 << 30,
         num_epoch=2, steps_per_dispatch=int(steps_per_dispatch),
         eval_decode="none",
     )
@@ -150,6 +153,7 @@ def via_trainer_main(
     loader = BucketedLoader(
         paths["train"], vocab, batch_size=batch,
         max_target_len=tcfg.get("max_target_len", 64),
+        wire_dtype=wire_dtype,
     )
     log(f"loader: {len(loader)} batches/epoch, label boundaries "
         f"{loader.label_boundaries}")

@@ -43,6 +43,9 @@ def data_config() -> Config:
         sample_rate=16000,
         max_target_len=64,
         spec_augment=False,
+        # raw PCM16 wire to device (half the transfer bytes; bit-exact for
+        # mono audio — device scales by 1/32768 in parse_batch)
+        wire_dtype="int16",
         model_name="TransformerOffical",
         from_ckpt=None,
         mesh_data=-1,
@@ -107,6 +110,7 @@ def train(**cli_kwargs):
                 seed=cfg.seed,
                 num_hosts=cfg.num_hosts,
                 host_id=cfg.host_id,
+                wire_dtype=cfg.get("wire_dtype", "int16"),
             )
 
     model = model_cls(cfg, vocab.vocab_size)

@@ -81,6 +81,7 @@ def main(
         t0 = time.perf_counter()
         for _ in range(n_iters):
             r = search()
+            r.materialize()  # BeamResult is lazy now; force per iteration
         wall = (time.perf_counter() - t0) / n_iters
         tput = batch * seconds / wall
         print(
@@ -89,8 +90,115 @@ def main(
         )
 
 
+def corpus(
+    seconds: float = 8.0,
+    batch: int = 64,
+    beam: int = 10,
+    max_len: int = 40,
+    mode: str = "joint",
+    n_batches: int = 12,
+    pipeline_depth: int = 1,
+    corpus_dir: str = "/tmp/asr_bench_corpus",
+    exp_dir: str = "/tmp/asr_bench_decode_exp",
+):
+    """CORPUS-level decode wall throughput through the real ``recognize``
+    path (manifest -> bucketed chunks -> wav IO -> encode -> search ->
+    detok/JSON), with the double-buffered pipeline (round-2 VERDICT #5).
+    Compare --pipeline_depth=0 (serial) vs 1 (default).
+
+    Uses an untrained flagship checkpoint — throughput does not depend on
+    the weights."""
+    import jax
+
+    from asr_chinese_e2e_tpu.data.features import FeatureConfig
+    from asr_chinese_e2e_tpu.data.vocab import Vocab
+    from asr_chinese_e2e_tpu.models.transformer import (
+        SpeechTransformer,
+        default_config,
+    )
+    from asr_chinese_e2e_tpu.train.checkpoint import CheckpointManager
+    from asr_chinese_e2e_tpu.train.optimizer import (
+        default_train_config,
+        make_optimizer,
+    )
+    from asr_chinese_e2e_tpu.train.train_step import make_step_fns
+    from asr_chinese_e2e_tpu.utils.synth import make_synth_corpus
+    from recognize import recognize
+
+    n_utts = n_batches * batch
+    n_unique = min(n_utts, 640)
+    paths = make_synth_corpus(
+        corpus_dir, n_train=n_unique, n_dev=0, n_test=0,
+        seconds_range=(seconds, seconds), tone_sec=seconds / 20.0,
+    )
+    manifest = paths["train"]
+    if n_utts > n_unique:
+        rows = open(manifest).read().splitlines()
+        manifest = os.path.join(corpus_dir, f"decode_x{n_utts}.jsonl")
+        with open(manifest, "w") as f:
+            for i in range(n_utts):
+                f.write(rows[i % n_unique] + "\n")
+
+    # one-time: save an untrained flagship experiment for load_experiment
+    cfg_path = os.path.join(exp_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        vocab = Vocab.load(paths["vocab"])
+        feat_cfg = FeatureConfig()
+        cfg = default_config().build(
+            ctc_weight=0.3, dtype="bfloat16", input_dim=feat_cfg.feature_dim,
+            dropout_rate=0.0,
+        )
+        tcfg = default_train_config().combine(cfg)
+        model = SpeechTransformer(cfg, vocab.vocab_size)
+        tx = make_optimizer(tcfg, cfg.d_model)
+        init_fn, _, _ = make_step_fns(model, tx, feat_cfg, tcfg)
+        rng0 = np.random.RandomState(0)
+        state = init_fn(
+            jax.random.PRNGKey(0),
+            {
+                "wave": rng0.randn(2, 16000).astype(np.float32),
+                "wave_lengths": np.full((2,), 16000, np.int32),
+                "labels": np.ones((2, 8), np.int32) * 4,
+                "label_lengths": np.full((2,), 8, np.int32),
+            },
+        )
+        os.makedirs(exp_dir, exist_ok=True)
+        # save the full (train+model) config: load_experiment rebuilds the
+        # optimizer template from it
+        tcfg.build(n_mels=feat_cfg.n_mels).save(cfg_path)
+        mgr = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+        mgr.save(state, epoch=0, config=cfg, metric=1.0)
+        mgr.wait()
+
+    # warm the compile caches with one tiny pass, then time the corpus
+    t0 = time.perf_counter()
+    recognize(
+        exp=exp_dir, vocab=paths["vocab"], manifest=manifest, mode=mode,
+        beam_size=beam, max_decode_len=max_len, batch_size=batch,
+        max_seconds=seconds, pipeline_depth=pipeline_depth,
+    )
+    print(f"[corpus warmup incl. compiles] {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    recognize(
+        exp=exp_dir, vocab=paths["vocab"], manifest=manifest, mode=mode,
+        beam_size=beam, max_decode_len=max_len, batch_size=batch,
+        max_seconds=seconds, pipeline_depth=pipeline_depth,
+    )
+    wall = time.perf_counter() - t0
+    tput = n_utts * seconds / wall
+    print(
+        f"[corpus mode={mode} depth={pipeline_depth}] {n_utts} utts in "
+        f"{wall:.2f}s = {tput:.0f} audio-s/s/chip wall "
+        f"({wall / n_batches * 1e3:.0f} ms/batch)"
+    )
+
+
 if __name__ == "__main__":
     from asr_chinese_e2e_tpu.utils.cli import parse_kwargs
 
     _, kwargs = parse_kwargs(sys.argv[1:])
-    main(**kwargs)
+    if kwargs.pop("corpus", False):
+        corpus(**kwargs)
+    else:
+        main(**kwargs)

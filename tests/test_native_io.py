@@ -87,3 +87,50 @@ def test_bad_wav_raises(tmp_path):
         f.write(b"not a wav file at all")
     with pytest.raises(IOError):
         native.read_wav_batch([p], stride=100)
+
+
+@needs_native
+def test_int16_wire_matches_float_path(tmp_path):
+    """int16 wire format: raw PCM16 rows; device-side /32768 must be
+    bit-exact vs the float32 path for mono audio."""
+    import jax.numpy as jnp
+
+    from asr_chinese_e2e_tpu.data.features import FeatureConfig, parse_batch
+
+    mpath, vocab = setup_data(tmp_path)
+    f = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, prefetch=0,
+        wire_dtype="float32",
+    )
+    i = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, prefetch=0,
+        wire_dtype="int16",
+    )
+    cfg = FeatureConfig(n_mels=20)
+    for bf, bi in zip(f.epoch(0), i.epoch(0)):
+        assert bi.wave.dtype == np.int16
+        np.testing.assert_array_equal(
+            bi.wave.astype(np.float32) / 32768.0, bf.wave
+        )
+        ff, lf = parse_batch(jnp.asarray(bf.wave), jnp.asarray(bf.wave_lengths), cfg)
+        fi, li = parse_batch(jnp.asarray(bi.wave), jnp.asarray(bi.wave_lengths), cfg)
+        np.testing.assert_array_equal(np.asarray(ff), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(li))
+
+
+@needs_native
+def test_int16_python_fallback_matches_native(tmp_path):
+    mpath, vocab = setup_data(tmp_path)
+    a = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, prefetch=0,
+        wire_dtype="int16", use_native_io=True,
+    )
+    b = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, prefetch=0,
+        wire_dtype="int16", use_native_io=False,
+    )
+    assert a._native is not None
+    for ba, bb in zip(a.epoch(0), b.epoch(0)):
+        assert ba.wave.dtype == bb.wave.dtype == np.int16
+        np.testing.assert_array_equal(ba.wave, bb.wave)
+        np.testing.assert_array_equal(ba.wave_lengths, bb.wave_lengths)

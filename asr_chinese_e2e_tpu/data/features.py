@@ -54,6 +54,10 @@ class FeatureConfig:
     time_mask_param: int = 40
     num_freq_masks: int = 1
     num_time_masks: int = 1
+    # time-warp (augments.py:54-396 — dead code in the reference, OFF by
+    # default there too; jnp polyharmonic sparse_image_warp, data/timewarp.py)
+    num_time_warps: int = 0
+    time_warp_param: int = 5
     # AudioParser2-style options (processor.py:106-152)
     cmvn_mode: str = "global"  # "global" (AudioParser) | "per_dim" (AudioParser2)
     use_delta: bool = False  # append Δ features
@@ -259,6 +263,13 @@ def spec_augment(
     one time mask by default. Batched: independent masks per utterance.
     """
     b, t, d = feats.shape
+    if cfg.num_time_warps > 0:
+        from .timewarp import time_warp
+
+        rng, wkey = jax.random.split(rng)
+        for _ in range(cfg.num_time_warps):
+            wkey, sub = jax.random.split(wkey)
+            feats = time_warp(feats, feat_lengths, sub, cfg.time_warp_param)
     valid = (jnp.arange(t)[None, :] < feat_lengths[:, None]).astype(feats.dtype)
     n_valid = jnp.maximum(feat_lengths.astype(feats.dtype) * d, 1.0)
     fill = jnp.sum(feats * valid[..., None], axis=(1, 2)) / n_valid  # (B,)

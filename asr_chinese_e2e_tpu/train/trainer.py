@@ -278,19 +278,32 @@ class Trainer:
         prof_steps = cfg.get("profile_steps", 0)
         spd = max(1, int(cfg.get("steps_per_dispatch", 1)))
         profiling = False
-        # the hot loop NEVER syncs with the device except at log/eval/save
-        # cadence: metrics stay device arrays in a buffer, and the step
-        # counter is tracked on host. (The reference syncs every iteration
-        # for tqdm/CER — SURVEY §3.2 flags it; float()/int() on per-step
-        # outputs would serialize host and device here too.)
+        # Host pacing: the hot loop keeps a BOUNDED number of dispatched
+        # steps in flight (max_in_flight, default 4). Data fetches (metric
+        # values) still happen only at log cadence, batched into one
+        # transfer — but completion WAITS (block_until_ready, no data
+        # movement) are issued continuously so the dispatch queue stays
+        # shallow. Measured on the remote-TPU tunnel: 1-5 steps in flight
+        # run at 16-17 ms/step, 10+ in flight degrade to 39-119 ms/step
+        # and an unbounded queue can wedge entirely (BENCH_NOTES r3).
+        # (The reference syncs every iteration for tqdm/CER — SURVEY §3.2;
+        # per-step float() fetches are the other extreme, ~140 ms RTT each.)
         step = int(self.state.step)  # one sync at epoch start
         pending: list = []
+        max_in_flight = max(1, int(cfg.get("max_in_flight", 4)))
+        in_flight: list = []
+
+        def pace(handle):
+            in_flight.append(handle)
+            if len(in_flight) > max_in_flight:
+                jax.block_until_ready(in_flight.pop(0))
 
         def after_step(metrics, n_samples, audio_s):
             nonlocal step
             step += 1
             self.throughput.step(audio_s)
             pending.append((metrics, n_samples))
+            pace(metrics.get("loss"))
             if step % cfg.log_every_iter == 0:
                 # single blocking drain: ONE packed fetch for the window
                 host = self._fetch_scalar_dicts([m for m, _ in pending])
@@ -319,7 +332,6 @@ class Trainer:
                 and not profiling
                 and prof_from <= step < prof_from + prof_steps
             ):
-                import jax
 
                 jax.profiler.start_trace(os.path.join(self.exp_dir, "xprof"))
                 profiling = True
@@ -356,7 +368,6 @@ class Trainer:
                         float(np.sum(batch.wave_lengths)) / sr,
                     )
             if profiling and step >= prof_from + prof_steps:
-                import jax
 
                 jax.profiler.stop_trace()
                 profiling = False
@@ -398,7 +409,6 @@ class Trainer:
             acc.update(h, num_samples=n)
         pending.clear()
         if profiling:
-            import jax
 
             jax.profiler.stop_trace()
 

@@ -211,7 +211,9 @@ def main(
     label_len: int = 20,
     ctc_weight: float = 0.3,
     dtype: str = "bfloat16",
-    n_steps: int = 10,
+    n_steps: int = 40,
+    sync_every: int = 1,  # host pacing: steps per block_until_ready
+    # (0 = drain once at the end, the round-1/2 behavior)
     attn_impl: str = "fused",  # fused Pallas kernel w/ in-kernel weight
     # dropout — verified equivalent to the XLA path (tests/test_fused_attention)
     # and +17% step throughput on v5e
@@ -333,9 +335,17 @@ def main(
         state, metrics = train_step(state, *args, step_rng)
     jax.block_until_ready(metrics["loss"])
 
+    # Bounded dispatch queue: the remote-TPU tunnel degrades sharply with
+    # outstanding-work depth (measured: sync every 1-5 steps = 16-17
+    # ms/step; letting 10+ steps queue = 39-119 ms/step — BENCH_NOTES r3).
+    # block_until_ready is a cheap completion wait (no data fetch), so
+    # pacing the host costs nothing and keeps the queue shallow.
+    sync_every = int(n_steps if sync_every <= 0 else sync_every)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for i in range(n_steps):
         state, metrics = train_step(state, *args, step_rng)
+        if (i + 1) % sync_every == 0:
+            jax.block_until_ready(metrics["loss"])
     jax.block_until_ready(metrics["loss"])
     wall = time.perf_counter() - t0
 

@@ -191,7 +191,12 @@ def state_shardings(mesh: Mesh, state):
         return rep
 
     opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state)
-    return state.replace(params=p_sh_tree, opt_state=opt_sh, step=rep)
+    return state.replace(
+        params=p_sh_tree,
+        opt_state=opt_sh,
+        step=rep,
+        metric_sums=jax.tree_util.tree_map(lambda _: rep, state.metric_sums),
+    )
 
 
 def shard_batch(mesh: Mesh, arrays: dict) -> dict:

@@ -39,6 +39,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from ..core.config import Config
@@ -124,6 +125,7 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": epoch,
+            "metric_sums": state.metric_sums,
         }
         self._ckptr.save(os.path.join(path, "state"), tree, force=True)
         if _is_proc0():
@@ -195,13 +197,21 @@ class CheckpointManager:
                 "opt_state": template.opt_state,
                 "step": template.step,
                 "epoch": 0,
+                "metric_sums": template.metric_sums,
             }
             target = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         tree = self._ckptr.restore(os.path.join(path, "state"), args=ocp.args.StandardRestore(target) if target is not None else None)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        sums = tree.get("metric_sums")
+        if sums is None and template is not None:
+            # pre-metric_sums checkpoint: resume with zeroed sums
+            sums = jax.tree.map(jnp.zeros_like, template.metric_sums)
         state = TrainState(
-            params=tree["params"], opt_state=tree["opt_state"], step=tree["step"]
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            step=tree["step"],
+            metric_sums=sums,
         )
         return state, meta
 

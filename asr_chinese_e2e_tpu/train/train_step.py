@@ -38,6 +38,15 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # Cumulative per-metric sums (each value weighted by batch size) plus
+    # the sample count under "_n" — accumulated ON DEVICE by train_step so
+    # a log window costs ONE tiny fetch of ~8 scalars with host-side
+    # diffs. The alternative (fetching every step's metric dict) is ~32 ms
+    # of dispatch latency PER HANDLE on a remote-TPU link: a 50-step × 6
+    # metric window fetched as 300 handles measured 9.5 s (BENCH_NOTES
+    # r3), and the reference fetches per step (SURVEY §3.2). f32 drift is
+    # bounded by re-zeroing each epoch (Trainer.train_epoch prologue).
+    metric_sums: Any
 
 
 def make_step_fns(
@@ -65,18 +74,39 @@ def make_step_fns(
             wave, wave_lengths, feat_cfg, augment=augment, rng=rng
         )
 
+    def _metric_keys(out: dict) -> tuple:
+        """The key set ``model_loss`` + ``train_step`` will emit, WITHOUT
+        running the losses (mirrors ``losses.model_loss``'s branch logic —
+        ``test_train_step`` asserts the two stay in sync)."""
+        keys = ["loss", "grad_norm"]
+        if "logits" in out and ctc_weight < 1.0:
+            keys += ["ce_loss", "n_correct", "n_word"]
+        if "ctc_logits" in out and ctc_weight > 0.0:
+            keys += ["ctc_loss"]
+        return tuple(sorted(keys))
+
+    def _acc_add(sums: dict, metrics: dict, n: float) -> dict:
+        new = {"_n": sums["_n"] + n}
+        for k in sums:
+            if k != "_n":
+                new[k] = sums[k] + jnp.asarray(metrics[k], jnp.float32) * n
+        return new
+
     def init_fn(rng, batch) -> TrainState:
         feats, feat_lens = featurize(
             jnp.asarray(batch["wave"]), jnp.asarray(batch["wave_lengths"]), None, False
         )
-        params = model.init(
+        out, params = model.init_with_output(
             rng, feats, feat_lens, jnp.asarray(batch["labels"]),
             jnp.asarray(batch["label_lengths"]),
         )
+        sums = {k: jnp.zeros((), jnp.float32) for k in _metric_keys(out)}
+        sums["_n"] = jnp.zeros((), jnp.float32)
         return TrainState(
             params=params,
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            metric_sums=sums,
         )
 
     def _grads(params, rng, wave, wave_lengths, labels, label_lengths):
@@ -147,7 +177,12 @@ def make_step_fns(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
-            params=new_params, opt_state=new_opt_state, step=state.step + 1
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            metric_sums=_acc_add(
+                state.metric_sums, metrics, float(wave.shape[0])
+            ),
         )
         return new_state, metrics
 

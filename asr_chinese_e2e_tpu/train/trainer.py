@@ -27,6 +27,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
@@ -152,10 +153,12 @@ class Trainer:
 
         Reading device scalars one ``float()`` at a time costs a full
         host<->device round-trip EACH (~140 ms through a remote-TPU
-        tunnel); a 50-step log window with 6 metrics was 300 round-trips
-        ≈ 0.8 s/step — 20× the step itself (measured, BENCH_NOTES r3).
-        Instead one jitted stack packs the window into a single
-        (n_dicts, n_keys) f32 array fetched with one transfer."""
+        tunnel). Used by ``evaluate`` for its per-batch scalar dicts. The
+        TRAIN loop no longer fetches per-step dicts at all: dispatching a
+        pack over a 50-step × 6-metric window (300 arg handles) measured
+        9.5 s on the tunnel — metric sums accumulate on device inside the
+        step instead (``TrainState.metric_sums``) and the log window does
+        one ~8-scalar fetch + host diffs."""
         if not dicts:
             return []
         keys = tuple(sorted(dicts[0]))
@@ -270,7 +273,6 @@ class Trainer:
         single-step program, so at most two XLA programs exist per bucket.
         """
         cfg = self.cfg
-        acc = MetricsAccumulator()
         self.throughput.reset()
         sr = self.feat_cfg.sample_rate
         # optional xprof trace window (SURVEY §5.1: tracing/profiling)
@@ -289,7 +291,14 @@ class Trainer:
         # (The reference syncs every iteration for tqdm/CER — SURVEY §3.2;
         # per-step float() fetches are the other extreme, ~140 ms RTT each.)
         step = int(self.state.step)  # one sync at epoch start
-        pending: list = []
+        # re-zero the on-device metric sums so f32 accumulation error stays
+        # bounded by one epoch's magnitude (~1e-4 relative at 10k steps)
+        self.state = self.state.replace(
+            metric_sums=jax.tree_util.tree_map(
+                jnp.zeros_like, self.state.metric_sums
+            )
+        )
+        sums_base = {k: 0.0 for k in self.state.metric_sums}
         max_in_flight = max(1, int(cfg.get("max_in_flight", 4)))
         in_flight: list = []
 
@@ -299,18 +308,26 @@ class Trainer:
                 jax.block_until_ready(in_flight.pop(0))
 
         def after_step(metrics, n_samples, audio_s):
-            nonlocal step
+            nonlocal step, sums_base
             step += 1
             self.throughput.step(audio_s)
-            pending.append((metrics, n_samples))
             pace(metrics.get("loss"))
             if step % cfg.log_every_iter == 0:
-                # single blocking drain: ONE packed fetch for the window
-                host = self._fetch_scalar_dicts([m for m, _ in pending])
-                for h, (_, n) in zip(host, pending):
-                    acc.update(h, num_samples=n)
-                pending.clear()
-                means = acc.means()
+                # ONE ~8-scalar fetch; window means = cumulative-sum diffs.
+                # (Under steps_per_dispatch>1 the sums are read at the
+                # group-final state, ≤ k−1 steps ahead of `step` — same
+                # dispatch-boundary rounding as the eval/save cadences.)
+                sums = {
+                    k: float(v)
+                    for k, v in jax.device_get(self.state.metric_sums).items()
+                }
+                n = sums["_n"] - sums_base["_n"]
+                means = {
+                    k: (sums[k] - sums_base[k]) / max(n, 1.0)
+                    for k in sums
+                    if k != "_n"
+                }
+                sums_base = sums
                 loss = means.get("loss", 0.0)
                 if not math.isfinite(loss):
                     raise ValueError("nan loss encountered")  # example_model.py:34-35
@@ -321,7 +338,6 @@ class Trainer:
                 )
                 scalars["train/steps_per_s"] = self.throughput.steps_per_sec
                 self.writer.write(step, scalars)
-                acc.reset()
 
         def dispatch(group):
             nonlocal profiling
@@ -404,10 +420,6 @@ class Trainer:
                 group = []
         for b in group:  # epoch-end leftovers
             dispatch([b])
-        host = self._fetch_scalar_dicts([m for m, _ in pending])
-        for h, (_, n) in zip(host, pending):
-            acc.update(h, num_samples=n)
-        pending.clear()
         if profiling:
 
             jax.profiler.stop_trace()

@@ -212,8 +212,14 @@ def main(
     ctc_weight: float = 0.3,
     dtype: str = "bfloat16",
     n_steps: int = 40,
-    sync_every: int = 1,  # host pacing: steps per block_until_ready
-    # (0 = drain once at the end, the round-1/2 behavior)
+    sync_every: int = 0,  # host pacing: steps per block_until_ready;
+    # 0 = drain once at the end (fastest measured: 29.0 steps/s vs 19.6
+    # at sync_every=4 — each mid-run completion wait costs a tunnel RTT,
+    # and a fully-queued 150-step run showed NO deep-queue degradation
+    # when the loop dispatches the SAME device arrays; the degradation
+    # the trainer pacing guards against comes from per-step device_put
+    # traffic interleaving with a deep queue, which this raw bench
+    # doesn't do — BENCH_NOTES r3)
     attn_impl: str = "fused",  # fused Pallas kernel w/ in-kernel weight
     # dropout — verified equivalent to the XLA path (tests/test_fused_attention)
     # and +17% step throughput on v5e

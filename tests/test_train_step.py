@@ -215,3 +215,45 @@ def test_flat_optimizer_matches_per_leaf_updates():
         jax.tree_util.tree_leaves(state2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_metric_sums_accumulate_on_device():
+    """``TrainState.metric_sums`` window diffs must equal the host-side
+    MetricsAccumulator over per-step metric dicts (the fetch they replace),
+    and the device key set must stay in sync with what ``model_loss`` +
+    ``train_step`` actually emit (``_metric_keys`` mirrors that branch
+    logic without running the losses)."""
+    from asr_chinese_e2e_tpu.train.metrics import MetricsAccumulator
+
+    cfg = tiny_cfg(dropout_rate=0.0, ctc_weight=0.3)
+    model, tx, tcfg = build(cfg, SpeechTransformer)
+    init_fn, train_step, _ = make_step_fns(
+        model, tx, FEAT_CFG, tcfg, raw_features=True
+    )
+    batch = make_raw_batch(b=4)
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    args = [
+        jnp.asarray(batch[k])
+        for k in ("wave", "wave_lengths", "labels", "label_lengths")
+    ]
+    assert all(float(v) == 0.0 for v in jax.device_get(state.metric_sums).values())
+
+    acc = MetricsAccumulator()
+    base = {k: 0.0 for k in state.metric_sums}
+    for window in range(2):
+        for _ in range(3):
+            state, metrics = train_step(state, *args, jax.random.PRNGKey(1))
+            acc.update(
+                {k: float(v) for k, v in metrics.items()}, num_samples=4
+            )
+        # key-set sync: device sums == step metrics (plus the "_n" count)
+        assert set(state.metric_sums) == set(metrics) | {"_n"}
+        sums = {k: float(v) for k, v in jax.device_get(state.metric_sums).items()}
+        n = sums["_n"] - base["_n"]
+        assert n == 12.0  # 3 steps x B=4
+        means = {k: (sums[k] - base[k]) / n for k in sums if k != "_n"}
+        want = acc.means()
+        for k, v in want.items():
+            np.testing.assert_allclose(means[k], v, rtol=2e-5, err_msg=k)
+        base = sums
+        acc.reset()

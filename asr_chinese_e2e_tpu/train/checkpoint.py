@@ -110,13 +110,18 @@ class CheckpointManager:
         config: Config | None = None,
         vocab_fingerprint: str | None = None,
         metric: float | None = None,
+        step: int | None = None,
     ) -> str:
         """Start an async save; returns immediately after device→host
         staging. The previous save (if still in flight) is drained first —
         at most one outstanding save, which also finalizes its index entry.
-        """
+
+        ``step``: host-tracked step count; pass it to avoid the
+        ``int(state.step)`` device fetch (on a remote-TPU link a fetch
+        racing compile/dispatch RPCs can stall — BENCH_NOTES r3)."""
         self.wait()
-        step = int(state.step)
+        if step is None:
+            step = int(state.step)
         # file naming parity: e{epoch}_s{step} (trainer11.py:93-99)
         name = f"e{epoch}_s{step}"
         path = self._step_dir(name)

@@ -92,6 +92,9 @@ def make_step_fns(
                 new[k] = sums[k] + jnp.asarray(metrics[k], jnp.float32) * n
         return new
 
+    @jax.jit  # ONE device program: an eager init is dozens of individual
+    # dispatches, each an RPC on a remote-TPU link (and each a chance to
+    # hit the tunnel's fetch-during-compile stall — BENCH_NOTES r3)
     def init_fn(rng, batch) -> TrainState:
         feats, feat_lens = featurize(
             jnp.asarray(batch["wave"]), jnp.asarray(batch["wave_lengths"]), None, False

@@ -214,6 +214,7 @@ class Trainer:
         batch = self._put_batch(first)
         init_rng, self.rng = jax.random.split(self.rng)
         self.state = self.init_fn(init_rng, batch)
+        self.host_step = 0  # host-tracked mirror of state.step (see below)
         if self.mesh is not None:
             # params tensor-parallel over ``model`` (replicated where no
             # rule matches / axis size 1); Adam moments mirror their
@@ -238,6 +239,7 @@ class Trainer:
                     self.state, state_shardings(self.mesh, self.state)
                 )
             self.epoch = int(meta["epoch"])
+            self.host_step = int(meta["step"])
         # note: the reference's extra_eval_epochs knob (hardcoded dev evals
         # at epochs {10,50,80,100,200}, trainer11.py:76-77) is superseded —
         # dev now evaluates at EVERY epoch end to drive best-ckpt selection
@@ -290,7 +292,13 @@ class Trainer:
         # and an unbounded queue can wedge entirely (BENCH_NOTES r3).
         # (The reference syncs every iteration for tqdm/CER — SURVEY §3.2;
         # per-step float() fetches are the other extreme, ~140 ms RTT each.)
-        step = int(self.state.step)  # one sync at epoch start
+        # host-tracked step counter: state.step advances by exactly 1 per
+        # train_step, so the host mirror stays exact without a device
+        # fetch. (The previous `int(self.state.step)` here was the most
+        # frequent victim of a tunnel stall: a d2h fetch enqueued while
+        # compile/dispatch RPCs are in flight can wedge indefinitely on
+        # the remote-TPU link — observed repeatedly, BENCH_NOTES r3.)
+        step = self.host_step
         # re-zero the on-device metric sums so f32 accumulation error stays
         # bounded by one epoch's magnitude (~1e-4 relative at 10k steps)
         self.state = self.state.replace(
@@ -310,6 +318,7 @@ class Trainer:
         def after_step(metrics, n_samples, audio_s):
             nonlocal step, sums_base
             step += 1
+            self.host_step = step  # keep mid-epoch save/eval in sync
             self.throughput.step(audio_s)
             pace(metrics.get("loss"))
             if step % cfg.log_every_iter == 0:
@@ -420,6 +429,7 @@ class Trainer:
                 group = []
         for b in group:  # epoch-end leftovers
             dispatch([b])
+        self.host_step = step
         if profiling:
 
             jax.profiler.stop_trace()
@@ -473,7 +483,7 @@ class Trainer:
         while pending:
             _drain(*pending.popleft())
         means = acc.means()
-        step = int(self.state.step) if self.state is not None else 0
+        step = getattr(self, "host_step", 0)
         self.writer.write(step, {prefix + k: v for k, v in means.items()})
         key = self.cfg.get("reference", "-loss").lstrip("+-")
         return means.get(key, means.get("loss", 0.0))
@@ -544,4 +554,5 @@ class Trainer:
             config=self.cfg,
             vocab_fingerprint=self.vocab.fingerprint() if self.vocab else None,
             metric=metric,
+            step=getattr(self, "host_step", None),
         )

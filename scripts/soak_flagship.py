@@ -31,7 +31,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = "/tmp/asr_soak_corpus"
 EXP_ROOT = "/tmp/asr_soak_exp"
 EXP_NAME = "soak_flagship"
-NUM_EPOCH = 12
+# 40 epochs x 45 steps with warm_up 150 trains ~1.6k steps at real lr --
+# the 12-epoch/warm_up-400 first attempt spent nearly the whole run
+# inside warmup and collapsed to the modal char (BENCH_NOTES r3)
+NUM_EPOCH = int(os.environ.get("SOAK_EPOCHS", 40))
+WARM_UP = int(os.environ.get("SOAK_WARMUP", 150))
+# SpecAugment measurably slows learning on spectrally-sparse pure tones
+# (each char is ONE mel peak; masks delete the whole evidence) -- off for
+# the synthetic soak, on for real speech
+SPEC_AUGMENT = os.environ.get("SOAK_SPECAUG", "false")
 
 
 def log(*a):
@@ -63,8 +71,8 @@ def train_cmd(paths, extra):
         "--num_epoch", str(NUM_EPOCH), "--batch_size", "64",
         "--ctc_weight", "0.3", "--dtype", "bfloat16",
         "--attn_impl", "fused", "--fbank_impl", "pallas",
-        "--spec_augment", "true",
-        "--warm_up", "400", "--noam_factor", "1.0",
+        "--spec_augment", SPEC_AUGMENT,
+        "--warm_up", str(WARM_UP), "--noam_factor", "1.0",
         "--log_every_iter", "20", "--eval_every_iter", "100000",
         "--save_every_iter", "60",
         "--eval_decode", "joint", "--eval_beam_size", "10",

@@ -81,16 +81,18 @@ def train_cmd(paths, extra):
 
 def run_until_killed(cmd, kill_after_s):
     """Run cmd; SIGKILL it kill_after_s seconds after step logs appear
-    (so the kill lands mid-training, past the compile phase)."""
+    (so the kill lands mid-training, past the compile phase).
+
+    Poll-driven: the trainer writes scalars.jsonl but is quiet on stdout,
+    so a read-stdout-lines loop would block forever and never deliver the
+    kill — the timer must tick independently of child output."""
     log("launch (to be killed):", " ".join(cmd[1:3]), "...")
-    proc = subprocess.Popen(
-        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True,
-    )
+    out = open("/tmp/soak_phase1.log", "w")
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=out, stderr=subprocess.STDOUT)
+    scalars = os.path.join(EXP_ROOT, EXP_NAME, "scalars.jsonl")
     armed_at = None
-    for line in proc.stdout:
-        print("  |", line.rstrip(), flush=True)
-        scalars = os.path.join(EXP_ROOT, EXP_NAME, "scalars.jsonl")
+    while proc.poll() is None:
+        time.sleep(5)
         if armed_at is None and os.path.exists(scalars) and os.path.getsize(scalars):
             armed_at = time.time()
             log(f"training observed; killing in {kill_after_s}s")
@@ -99,6 +101,7 @@ def run_until_killed(cmd, kill_after_s):
             proc.send_signal(signal.SIGKILL)
             break
     proc.wait()
+    out.close()
     log(f"killed run exited with {proc.returncode}")
 
 

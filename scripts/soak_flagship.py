@@ -40,6 +40,22 @@ WARM_UP = int(os.environ.get("SOAK_WARMUP", 150))
 # (each char is ONE mel peak; masks delete the whole evidence) -- off for
 # the synthetic soak, on for real speech
 SPEC_AUGMENT = os.environ.get("SOAK_SPECAUG", "false")
+# Dropout 0.1 (the flagship recipe value) pins the flagship at the
+# uniform-prediction plateau on this DETERMINISTIC corpus: measured r3,
+# CE flat at ln(40)=3.69 for 900+ steps with decaying grad norm, while
+# the same construction at toy scale learns with dropout 0
+# (tests/test_learning*.py). Regularization against overfit is not what
+# the soak tests -- crash/resume + full-recipe evidence is -- so default 0.
+DROPOUT = os.environ.get("SOAK_DROPOUT", "0.0")
+# The reference's post-LN placement needs its full-length schedule
+# (warm_up 4000 over ~200 epochs, main_new.py defaults) to leave the
+# uniform-prediction plateau; in a time-boxed ~1.8k-step soak it stays
+# pinned at CE = ln(n_tone_chars) with decaying grad norm (measured r3,
+# both dropout 0.1 and 0.0). Pre-LN — the framework's robust-optimization
+# option (models/transformer.py norm_type) — trains reliably at this
+# horizon (tests/test_learning*.py), so the soak defaults to it; the
+# recipe-parity default elsewhere stays "post".
+NORM_TYPE = os.environ.get("SOAK_NORM", "pre")
 
 
 def log(*a):
@@ -72,6 +88,8 @@ def train_cmd(paths, extra):
         "--ctc_weight", "0.3", "--dtype", "bfloat16",
         "--attn_impl", "fused", "--fbank_impl", "pallas",
         "--spec_augment", SPEC_AUGMENT,
+        "--dropout_rate", DROPOUT,
+        "--norm_type", NORM_TYPE,
         "--warm_up", str(WARM_UP), "--noam_factor", "1.0",
         "--log_every_iter", "20", "--eval_every_iter", "100000",
         "--save_every_iter", "60",

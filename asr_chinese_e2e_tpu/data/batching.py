@@ -216,6 +216,18 @@ class BucketedLoader:
         ``drop_last=False`` tail batches are only emitted single-host;
         under multiple hosts a partial global batch cannot be split into
         equal per-host shapes, so it is dropped regardless.
+
+        Tail batches compile one extra XLA program per (bucket, tail-size)
+        pair — bounded by n_buckets per corpus since the tail size is a
+        function of the corpus, not the epoch. Padding tails to full rows
+        was considered and rejected: duplicated rows bias every
+        batch-mean metric (eval exactness tests would break) and
+        zero-length rows NaN the attention softmax (all positions masked).
+        Training/eval default to ``drop_last=True`` (reference parity,
+        ``ai_shell_1.py:103``); full-coverage decoding uses
+        ``recognize.batched``'s padded chunks, which DO pad (duplicating
+        row 0) because the decode path drops pad rows on host and
+        computes no batch-mean metrics on device.
         """
         order = np.arange(len(self.records))
         if self.shuffle:

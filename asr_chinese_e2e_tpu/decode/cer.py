@@ -43,16 +43,31 @@ def calculate_cer(hyp: str, ref: str) -> float:
     return _distance(hyp, ref) / word_num
 
 
+def _truncate_at_eos(ids: list, eos_id: int) -> list:
+    """Everything before the first EOS (exclusive)."""
+    if eos_id in ids:
+        return ids[: ids.index(eos_id)]
+    return ids
+
+
 def batch_cer_from_ids(
-    pred_ids: np.ndarray, gold_ids: np.ndarray, vocab
+    pred_ids: np.ndarray, gold_ids: np.ndarray, vocab, eos_id: int = 3
 ) -> float:
-    """Teacher-forced argmax CER ×100 (``transformer_official.py:87-94``)."""
+    """Teacher-forced argmax CER ×100 (``transformer_official.py:87-94``).
+
+    Deliberate fix vs the reference metric: the reference argmaxes over ALL
+    padded positions, so post-EOS garbage counts as insertions against the
+    PAD-stripped ref — at flagship shapes that reads 117-140% "CER" while
+    decoded CER is 1-3% (round-3 soak). Both hyp and ref are truncated at
+    their first EOS before the Levenshtein, making the TF metric track the
+    decoded-CER direction (SURVEY Appendix A convention: reference bugs are
+    fixed, not replicated)."""
     cers = []
     for hyp_row, ref_row in zip(np.asarray(pred_ids), np.asarray(gold_ids)):
-        ref = vocab.ids_to_str(ref_row.tolist())
+        ref = vocab.ids_to_str(_truncate_at_eos(ref_row.tolist(), eos_id))
         if not ref:
             continue
-        hyp = vocab.ids_to_str(hyp_row.tolist())
+        hyp = vocab.ids_to_str(_truncate_at_eos(hyp_row.tolist(), eos_id))
         cers.append(calculate_cer(hyp, ref))
     return float(np.mean(cers) * 100.0) if cers else 0.0
 

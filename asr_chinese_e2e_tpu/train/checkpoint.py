@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Optional
 
 import jax
@@ -191,7 +192,21 @@ class CheckpointManager:
         ``template`` (an abstract-or-concrete TrainState with the right
         structure) is required for sharded/typed restore."""
         self.wait()  # never read past a save still in flight
-        name = self._index.get(which, None) if which in ("latest", "best") else which
+        if which in ("latest", "best"):
+            # disk is the source of truth: a fresh manager on a non-zero
+            # process may hold a stale in-memory index (only process 0
+            # writes index.json). Multi-process, briefly poll for the
+            # pointer — process 0 publishes it after the orbax commit
+            # barrier, so other processes can arrive here first.
+            deadline = time.time() + (30.0 if jax.process_count() > 1 else 0.0)
+            while True:
+                self._index = self._load_index()
+                name = self._index.get(which)
+                if name is not None or time.time() >= deadline:
+                    break
+                time.sleep(0.25)
+        else:
+            name = which
         if name is None:
             raise FileNotFoundError(f"no '{which}' checkpoint in {self.directory}")
         path = self._step_dir(name)

@@ -67,6 +67,18 @@ class ScalarWriter:
             self._tb.close()
 
 
+class NullScalarWriter:
+    """No-op writer for non-zero processes: on a shared filesystem only
+    process 0 writes scalars.jsonl / TB events (one writer per artifact,
+    same policy as checkpoint index/meta)."""
+
+    def write(self, step: int, scalars: Dict[str, float]) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class ThroughputMeter:
     """audio-seconds/s/chip — the north-star throughput metric."""
 

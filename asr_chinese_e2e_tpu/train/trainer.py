@@ -35,7 +35,12 @@ from ..data.batching import Batch, BucketedLoader
 from ..data.features import FeatureConfig
 from ..decode.cer import batch_cer_from_ids
 from .checkpoint import CheckpointManager
-from .metrics import MetricsAccumulator, ScalarWriter, ThroughputMeter
+from .metrics import (
+    MetricsAccumulator,
+    NullScalarWriter,
+    ScalarWriter,
+    ThroughputMeter,
+)
 from .optimizer import current_lr
 from .train_step import make_step_fns
 
@@ -83,8 +88,14 @@ class Trainer:
 
             shutil.rmtree(self.exp_dir)
         os.makedirs(self.exp_dir, exist_ok=True)
-        cfg.save(os.path.join(self.exp_dir, "config.json"))
-        self.writer = ScalarWriter(self.exp_dir)
+        # one writer per shared-filesystem artifact: config/scalars/TB come
+        # from process 0 only (checkpoint index/meta are gated the same way
+        # in CheckpointManager)
+        if jax.process_index() == 0:
+            cfg.save(os.path.join(self.exp_dir, "config.json"))
+            self.writer = ScalarWriter(self.exp_dir)
+        else:
+            self.writer = NullScalarWriter()
         self.ckpt = CheckpointManager(
             os.path.join(self.exp_dir, "checkpoints"),
             reference=cfg.get("reference", "-loss"),

@@ -194,11 +194,33 @@ def corpus(
     )
 
 
+def sweep(
+    seconds: float = 8.0,
+    batch: int = 64,
+    beam: int = 10,
+    max_len: int = 40,
+    n_batches: int = 12,
+    modes: str = "beam,joint",
+    depths: str = "0,1",
+):
+    """The round-3 VERDICT #3 ladder in ONE process (jit caches shared
+    across pipeline depths, so each mode compiles once): corpus decode
+    wall throughput for each (mode, pipeline_depth) pair."""
+    for mode in modes.split(","):
+        for depth in (int(d) for d in depths.split(",")):
+            corpus(
+                seconds=seconds, batch=batch, beam=beam, max_len=max_len,
+                mode=mode, n_batches=n_batches, pipeline_depth=depth,
+            )
+
+
 if __name__ == "__main__":
     from asr_chinese_e2e_tpu.utils.cli import parse_kwargs
 
     _, kwargs = parse_kwargs(sys.argv[1:])
     if kwargs.pop("corpus", False):
         corpus(**kwargs)
+    elif kwargs.pop("sweep", False):
+        sweep(**kwargs)
     else:
         main(**kwargs)

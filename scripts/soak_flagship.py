@@ -36,9 +36,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = "/tmp/asr_soak_corpus"
 EXP_ROOT = "/tmp/asr_soak_exp"
 EXP_NAME = "soak_flagship"
-# 40 epochs x 45 steps with warm_up 150 trains ~1.6k steps at real lr --
-# the 12-epoch/warm_up-400 first attempt spent nearly the whole run
-# inside warmup and collapsed to the modal char (BENCH_NOTES r3)
+# Schedule notes (r3/r4 measured): warm_up must be short enough that the
+# run spends most steps at real LR (the 12-epoch/warm_up-400 first attempt
+# sat inside warmup and collapsed to the modal char), and the PEAK must be
+# gentle enough for cross-attention alignment to form — warm_up 150 with
+# factor 1.0 peaks at 3.6e-3 and pins TF accuracy at ~28% for 1500+ steps
+# (r3 soak; reproduced at d=256 on CPU, BENCH_NOTES r4), while factor 0.25
+# (peak 9e-4 ~= the reference's warmup-4000 peak of 7e-4) learns to >95%
+# token accuracy in a few hundred steps.
 NUM_EPOCH = int(os.environ.get("SOAK_EPOCHS", 40))
 WARM_UP = int(os.environ.get("SOAK_WARMUP", 150))
 # SpecAugment measurably slows learning on spectrally-sparse pure tones
@@ -172,17 +177,17 @@ def run_to_completion(cmd, timeout_s=3600):
         raise SystemExit(f"resume run failed rc={proc.returncode}")
 
 
-def decode(paths):
-    out = os.path.join(EXP_ROOT, "soak_decode.json")
+def decode(paths, mode="joint"):
+    out = os.path.join(EXP_ROOT, f"soak_decode_{mode}.json")
     cmd = [
         sys.executable, os.path.join(REPO, "recognize.py"),
         "--exp", os.path.join(EXP_ROOT, EXP_NAME),
         "--vocab", paths["vocab"],
         "--manifest", paths["dev"],
-        "--mode", "joint", "--beam_size", "10", "--batch_size", "64",
+        "--mode", mode, "--beam_size", "10", "--batch_size", "64",
         "--max_seconds", "8.0", "--which", "best", "--out", out,
     ]
-    log("decode:", " ".join(cmd[1:4]), "...")
+    log("decode:", " ".join(cmd[1:4]), f"mode={mode} ...")
     proc = subprocess.run(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, timeout=3600,
@@ -198,6 +203,13 @@ def summarize():
     scalars = os.path.join(EXP_ROOT, EXP_NAME, "scalars.jsonl")
     rows = [json.loads(l) for l in open(scalars)]
     tr = [(r["step"], r["train/loss"]) for r in rows if "train/loss" in r]
+    # teacher-forced token accuracy — the round-3 VERDICT #1 "attention
+    # branch actually trains" signal (was stuck at 28% under the r3 hot
+    # schedule; the CPU A/B in BENCH_NOTES r4 pinned that on peak LR)
+    acc = [(r["step"], round(r["train/n_correct"] / max(r["train/n_word"], 1), 3))
+           for r in rows if "train/n_word" in r]
+    if acc:
+        log("train TF token accuracy (every ~10th log):", acc[::10], "last:", acc[-1])
     dv = [(r["step"], r.get("dev/loss"), r.get("dev/decoded_cer"))
           for r in rows if "dev/loss" in r]
     tp = [r["train/audio_s_per_s_per_chip"] for r in rows
@@ -231,9 +243,14 @@ def main():
     # phase 2: resume from latest, run to completion
     run_to_completion(train_cmd(paths, ["--from_ckpt", "latest"]))
     tr = summarize()
-    # phase 3: decode dev from the saved experiment
-    cer = decode(paths)
-    log(f"DONE: dev decoded CER = {cer}")
+    # phase 3: decode dev from the saved experiment — JOINT (CTC-pruned)
+    # and pure-attention BEAM. The beam mode exercises the attention
+    # decoder alone (the reference's entire model,
+    # transformer_official.py:34-458) — round-3 VERDICT #1 requires its
+    # CER in the same band as joint, not rescued by the CTC branch.
+    cer_joint = decode(paths, "joint")
+    cer_beam = decode(paths, "beam")
+    log(f"DONE: dev decoded CER joint={cer_joint} pure-attention-beam={cer_beam}")
     first, last = tr[0][1], tr[-1][1]
     assert last < first, f"loss did not decrease: {first} -> {last}"
 

@@ -62,6 +62,15 @@ def _populate() -> None:
         transformer.SpeechTransformer,
         transformer.default_config,
     )
+    # net-new family beyond the reference zoo: conv-augmented encoder
+    # blocks (Gulati et al. 2020) over the same decoder/CTC/decode stack
+    register(
+        "Conformer",
+        transformer.SpeechTransformer,
+        lambda: transformer.default_config().build(
+            encoder_type="conformer", norm_type="pre"
+        ),
+    )
     register("BiLSTMCTC", rnn.BiLSTMCTC, rnn.default_ctc_config)
     register("LAS", rnn.LAS, rnn.default_las_config)
     register("ExampleModel", example.ExampleModel, example.default_config)

@@ -424,6 +424,49 @@ class SubLayer(nn.Module):
         return norm(x + fn(x))
 
 
+class ConvModule(nn.Module):
+    """Conformer convolution module (Gulati et al. 2020 §2.2):
+    pointwise(2d)+GLU → depthwise(k) → LayerNorm → swish → pointwise(d) →
+    dropout.
+
+    Net-new capability beyond the reference (whose encoders are
+    attention-only, SURVEY §2.4). TPU notes: the depthwise conv lowers to
+    an MXU-friendly grouped conv at static shapes; activations are
+    zero-masked at padded frames BEFORE the conv so padding cannot leak
+    into valid frames (output at frame t then depends only on in-range
+    frames — pad-length invariance is tested). LayerNorm replaces the
+    paper's BatchNorm: batch statistics would couple utterances and break
+    the fixed-shape bucket discipline (padded-frame counts vary per
+    batch), and LN-based Conformers are standard practice."""
+
+    d_model: int
+    kernel_size: int = 15
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        t = x.shape[1]
+        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+        y = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
+        y = nn.glu(y, axis=-1)
+        y = y * mask[..., None]  # zero pads so the conv window reads zeros
+        y = nn.Conv(
+            self.d_model,
+            (self.kernel_size,),
+            feature_group_count=self.d_model,
+            padding="SAME",
+            dtype=self.dtype,
+            name="dw",
+        )(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        y = nn.swish(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(y)
+        return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+
 class ConvSubsampler(nn.Module):
     """Conv2d front-end: two stride-2 3x3 convs -> 4x time reduction.
 

@@ -35,6 +35,7 @@ from ..core.config import Config
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
 from ..ops.masks import NEG_INF, causal_padding_bias, padding_bias
 from .layers import (
+    ConvModule,
     ConvSubsampler,
     MultiHeadAttention,
     PositionalEncoding,
@@ -59,6 +60,9 @@ def default_config() -> Config:
         frontend="linear",  # or "conv2d" subsampling
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
+        encoder_type="transformer",  # or "conformer" (conv-augmented
+        # blocks — net-new family beyond the attention-only reference)
+        conv_kernel_size=15,  # conformer depthwise conv width
         attn_impl="xla",  # encoder self-attn: "xla" | "flash" (Pallas, no
         # weight dropout) | "fused" (Pallas, in-kernel weight dropout) |
         # "ring" (sequence parallelism over the `seq` mesh axis)
@@ -100,6 +104,56 @@ class EncoderLayer(nn.Module):
         return self.sub2(x, lambda y: self.ffn(y, deterministic))
 
 
+class ConformerBlock(nn.Module):
+    """Conformer block (Gulati et al. 2020): macaron half-step FFNs
+    sandwiching self-attention and a convolution module, final LayerNorm.
+
+    Net-new encoder family — the reference's model zoo is attention-only
+    (SURVEY §2.4); selected with ``encoder_type='conformer'``. Reuses this
+    framework's MultiHeadAttention, so every ``attn_impl`` (xla / flash /
+    fused Pallas kernel / ring sequence-parallel) works unchanged, as do
+    the decoder, CTC head and every decode mode. The block is inherently
+    pre-norm (its own LN placement); ``norm_type`` still governs the
+    decoder."""
+
+    cfg: Config
+    dtype: Any
+
+    def setup(self):
+        c = self.cfg
+        self.ffn1 = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
+        self.ffn2 = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
+        self.attn = MultiHeadAttention(
+            c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
+            weight_dropout=c.get("attn_weight_dropout", True),
+        )
+        self.conv = ConvModule(
+            c.d_model, c.get("conv_kernel_size", 15), c.dropout_rate, self.dtype
+        )
+        self.ln_ffn1 = nn.LayerNorm(dtype=self.dtype)
+        self.ln_attn = nn.LayerNorm(dtype=self.dtype)
+        self.ln_conv = nn.LayerNorm(dtype=self.dtype)
+        self.ln_ffn2 = nn.LayerNorm(dtype=self.dtype)
+        self.ln_final = nn.LayerNorm(dtype=self.dtype)
+
+    def __call__(self, x, bias, deterministic=True, lengths=None):
+        x = x + 0.5 * self.ffn1(self.ln_ffn1(x), deterministic)
+        a = self.ln_attn(x)
+        impl = self.cfg.get("attn_impl", "xla")
+        if impl == "flash" and lengths is not None:
+            a = self.attn.flash(a, lengths, deterministic)
+        elif impl == "fused" and lengths is not None:
+            a = self.attn.fused(a, lengths, deterministic)
+        elif impl == "ring" and lengths is not None:
+            a = self.attn.ring(a, lengths, deterministic)
+        else:
+            a = self.attn(a, a, bias, deterministic)
+        x = x + a
+        x = x + self.conv(self.ln_conv(x), lengths, deterministic)
+        x = x + 0.5 * self.ffn2(self.ln_ffn2(x), deterministic)
+        return self.ln_final(x)
+
+
 class Encoder(nn.Module):
     cfg: Config
     dtype: Any
@@ -113,18 +167,27 @@ class Encoder(nn.Module):
             self.input_norm = nn.LayerNorm(dtype=self.dtype)
         self.pe = PositionalEncoding(c.d_model)
         self.dropout = nn.Dropout(c.dropout_rate)
-        layer_cls = EncoderLayer
+        layer_cls = (
+            ConformerBlock
+            if c.get("encoder_type", "transformer") == "conformer"
+            else EncoderLayer
+        )
         if c.get("remat", False):
             # rematerialize layer activations in backward (jax.checkpoint):
             # trades ~30% more encoder FLOPs for O(layers) less activation
             # memory — the deep-encoder / long-utterance / big-batch knob
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            layer_cls = nn.remat(layer_cls, static_argnums=(3,))
         self.layers = [
             layer_cls(c, self.dtype, name=f"layer{i}")
             for i in range(c.num_encoder_layers)
         ]
+        # conformer blocks carry their own final LN; the extra pre-norm
+        # output LN applies to the plain transformer stack only
         self.final_norm = (
-            nn.LayerNorm(dtype=self.dtype) if c.norm_type == "pre" else None
+            nn.LayerNorm(dtype=self.dtype)
+            if c.norm_type == "pre"
+            and c.get("encoder_type", "transformer") != "conformer"
+            else None
         )
 
     def __call__(self, feats, feat_lengths, deterministic=True):

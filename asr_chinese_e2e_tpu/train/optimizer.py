@@ -86,7 +86,33 @@ def make_schedule(cfg: Config, d_model: int):
     return lambda count: cfg.lr
 
 
+def noam_peak_lr(d_model: int, warmup: int, factor: float = 1.0) -> float:
+    """The schedule's maximum (reached at step == warmup)."""
+    return factor * d_model ** -0.5 * warmup ** -0.5
+
+
+# Measured (BENCH_NOTES r4, CPU A/B + r3 flagship soak): Noam peaks much
+# above the reference recipe's 7e-4 (warmup 4000, d 512) stall the
+# attention decoder — TF accuracy pins at ~28% (pre-LN) or the uniform
+# plateau (post-LN) while CTC still converges. Compressed-warmup runs
+# must scale noam_factor down to keep the peak in the trainable band.
+NOAM_PEAK_WARN = 2e-3
+
+
 def make_optimizer(cfg: Config, d_model: int) -> optax.GradientTransformation:
+    if cfg.get("lr_schedule") == "noam":
+        peak = noam_peak_lr(d_model, cfg.warmup, cfg.noam_factor)
+        if peak > NOAM_PEAK_WARN:
+            import warnings
+
+            warnings.warn(
+                f"Noam peak LR {peak:.2e} (noam_factor/sqrt(d_model*warmup)) "
+                f"exceeds {NOAM_PEAK_WARN:.0e} — measured to stall attention-"
+                "decoder learning at flagship depth (BENCH_NOTES r4); lower "
+                "noam_factor or raise warm_up so the peak lands near the "
+                "reference recipe's 7e-4.",
+                stacklevel=2,
+            )
     schedule = make_schedule(cfg, d_model)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),

@@ -476,7 +476,14 @@ class Trainer:
                 [{k: v for k, v in metrics.items()
                   if k not in ("pred_ids", "gold_ids")}]
             )[0]
-            if "pred_ids" in metrics:
+            if "pred_ids" in metrics and getattr(
+                metrics["pred_ids"], "is_fully_addressable", True
+            ):
+                # multi-process note: pred_ids is data-sharded across
+                # hosts, so only the locally-addressable case computes TF
+                # CER (each host would otherwise need an all-gather of id
+                # tensors for a logging-only metric; scalar metrics above
+                # are replicated and unaffected)
                 host["cer"] = batch_cer_from_ids(
                     np.asarray(metrics["pred_ids"]),
                     np.asarray(metrics["gold_ids"]),

@@ -33,6 +33,13 @@ feat_cfg = FeatureConfig()  # 80 mel, LFR 4/3 -> 320-dim, same as flagship
 ARMS = {
     "hot": dict(warmup=150, factor=1.0),
     "gentle": dict(warmup=150, factor=0.25),
+    # recipe-parity placement/regularisation (post-LN, dropout 0.1 —
+    # transformer_official.py:112-124) under hot vs scaled peaks: the r3
+    # soak saw post-LN pinned at the uniform plateau with BOTH dropouts at
+    # factor 1.0 — these arms test whether the peak, not the placement,
+    # was the cause (round-3 VERDICT #2)
+    "post_hot": dict(warmup=300, factor=1.0, norm="post", dropout=0.1),
+    "post_gentle": dict(warmup=300, factor=0.25, norm="post", dropout=0.1),
 }
 arm = sys.argv[1] if len(sys.argv) > 1 else "hot"
 a = ARMS[arm]
@@ -40,8 +47,8 @@ a = ARMS[arm]
 mcfg = default_config().build(
     d_model=256, num_heads=4, head_dim=64, d_ff=512,
     num_encoder_layers=3, num_decoder_layers=3,
-    input_dim=feat_cfg.feature_dim, dropout_rate=0.0,
-    ctc_weight=0.3, norm_type="pre",
+    input_dim=feat_cfg.feature_dim, dropout_rate=a.get("dropout", 0.0),
+    ctc_weight=0.3, norm_type=a.get("norm", "pre"),
 )
 tcfg = default_train_config().combine(mcfg).build(
     lr_schedule="noam", warmup=a["warmup"], noam_factor=a["factor"],

@@ -257,3 +257,26 @@ def test_metric_sums_accumulate_on_device():
             np.testing.assert_allclose(means[k], v, rtol=2e-5, err_msg=k)
         base = sums
         acc.reset()
+
+
+def test_noam_peak_guardrail():
+    """Hot compressed schedules (peak LR in the measured stall band,
+    BENCH_NOTES r4) warn; the reference recipe and scaled-down compressed
+    schedules don't."""
+    import warnings
+
+    from asr_chinese_e2e_tpu.train.optimizer import noam_peak_lr
+
+    hot = default_train_config().build(warmup=150, noam_factor=1.0)
+    with pytest.warns(UserWarning, match="Noam peak"):
+        make_optimizer(hot, 512)
+
+    for cfg, d in (
+        (default_train_config(), 512),  # reference recipe: peak 7e-4
+        (default_train_config().build(warmup=150, noam_factor=0.25), 512),
+    ):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            make_optimizer(cfg, d)
+
+    assert abs(noam_peak_lr(512, 4000) - 7e-4) < 1e-4

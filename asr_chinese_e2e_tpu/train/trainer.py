@@ -501,6 +501,18 @@ class Trainer:
         while pending:
             _drain(*pending.popleft())
         means = acc.means()
+        if not means:
+            # zero batches (e.g. a loader whose buckets never fill): no
+            # scalar row, and crucially NO metric — returning 0.0 here once
+            # poisoned the best-pointer (0.0 is unbeatable under '-loss')
+            import warnings
+
+            warnings.warn(
+                f"evaluate({prefix!r}) saw zero batches — eval loader "
+                "produced nothing (check drop_last/bucket fill)",
+                stacklevel=2,
+            )
+            return None
         step = getattr(self, "host_step", 0)
         self.writer.write(step, {prefix + k: v for k, v in means.items()})
         key = self.cfg.get("reference", "-loss").lstrip("+-")

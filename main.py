@@ -111,6 +111,13 @@ def train(**cli_kwargs):
                 num_hosts=cfg.num_hosts,
                 host_id=cfg.host_id,
                 wire_dtype=cfg.get("wire_dtype", "int16"),
+                # train keeps the reference's drop_last=True (static-shape
+                # discipline, ai_shell_1.py:103). Eval splits must NOT: a
+                # small dev set spread over duration buckets may fill no
+                # bucket to batch_size at all — an r4 soak ran every dev
+                # eval on ZERO batches that way (each tail size costs one
+                # extra one-time compile; coverage is worth it)
+                drop_last=(split == "train"),
             )
 
     model = model_cls(cfg, vocab.vocab_size)

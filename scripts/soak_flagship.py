@@ -179,13 +179,15 @@ def run_to_completion(cmd, timeout_s=3600):
 
 def decode(paths, mode="joint"):
     out = os.path.join(EXP_ROOT, f"soak_decode_{mode}.json")
+    idx = json.load(open(os.path.join(EXP_ROOT, EXP_NAME, "checkpoints", "index.json")))
+    which = "best" if idx.get("best") else "latest"
     cmd = [
         sys.executable, os.path.join(REPO, "recognize.py"),
         "--exp", os.path.join(EXP_ROOT, EXP_NAME),
         "--vocab", paths["vocab"],
         "--manifest", paths["dev"],
         "--mode", mode, "--beam_size", "10", "--batch_size", "64",
-        "--max_seconds", "8.0", "--which", "best", "--out", out,
+        "--max_seconds", "8.0", "--which", which, "--out", out,
     ]
     log("decode:", " ".join(cmd[1:4]), f"mode={mode} ...")
     proc = subprocess.run(

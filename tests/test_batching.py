@@ -179,3 +179,20 @@ def test_label_ids_roundtrip(tmp_path):
     for i, text in enumerate(batch.texts):
         ids = batch.labels[i, : batch.label_lengths[i]].tolist()
         assert vocab.ids_to_str(ids).replace(" ", "") == text
+
+
+def test_drop_last_false_covers_every_record_across_buckets(tmp_path):
+    """Eval-split regression (r4): a small corpus spread over buckets can
+    fill NO bucket to batch_size — with drop_last=True every eval batch
+    vanished and the dev eval ran on zero data. drop_last=False must emit
+    the per-bucket tails so total coverage is exact."""
+    mpath, vocab = setup_data(tmp_path, n_short=3, n_long=2)  # no full batch
+    strict = BucketedLoader(mpath, vocab, batch_size=4, max_target_len=8, seed=1)
+    assert list(strict.epoch(0)) == []  # the failure mode
+    loader = BucketedLoader(
+        mpath, vocab, batch_size=4, max_target_len=8, seed=1, drop_last=False,
+    )
+    batches = list(loader.epoch(0))
+    assert sum(b.wave.shape[0] for b in batches) == 5
+    texts = [t for b in batches for t in b.texts]
+    assert sorted(texts) == sorted(["你好"] * 3 + ["世界你好"] * 2)

@@ -95,3 +95,5 @@ print(f"=== arm {arm} done at step {step}, {time.time()-t0:.0f}s ===", flush=Tru
 # Measured 2026-08 (BENCH_NOTES r4): hot pinned at acc 0.28 / CE 2.58 by
 # step 200; gentle reached acc 0.97 / CE 0.08 by step 350. Run:
 #   python scripts/lr_ab_cpu.py hot ; python scripts/lr_ab_cpu.py gentle
+# post_gentle measured: acc 0.75 @300, 0.97 @625 — post-LN + dropout 0.1
+# trains once the peak is reference-scale (see BENCH_NOTES r4).

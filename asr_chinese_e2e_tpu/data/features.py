@@ -59,7 +59,13 @@ class FeatureConfig:
     num_time_warps: int = 0
     time_warp_param: int = 5
     # AudioParser2-style options (processor.py:106-152)
-    cmvn_mode: str = "global"  # "global" (AudioParser) | "per_dim" (AudioParser2)
+    # "global" (AudioParser) | "per_dim" (AudioParser2) | "fixed"
+    # (corpus-level stats — pointwise per frame, hence causal: the mode the
+    # streaming recognizer's incremental path requires, since per-utterance
+    # stats would retroactively change already-encoded frames)
+    cmvn_mode: str = "global"
+    cmvn_mean: float = 0.0  # "fixed" mode stats
+    cmvn_std: float = 1.0
     use_delta: bool = False  # append Δ features
     use_delta_delta: bool = False  # append ΔΔ features
     # AudioParser2's feature_type knob (processor.py:119-139): "mfcc" takes
@@ -170,18 +176,25 @@ def frame_signal(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     return wave[:, idx]
 
 
-def log_mel_spectrogram(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    """(B, S) float32 -> (B, T, n_mels) log-mel features.
+def logmel_from_frames(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, T, win) pre-framed audio -> (B, T, n_mels) log-mel.
 
-    power spectrum (power=2) -> mel -> log(x + 1e-20) (``processor.py:33-40``).
-    """
-    frames = frame_signal(wave, cfg)  # (B, T, win)
+    The framing-independent half of ``log_mel_spectrogram`` — the streaming
+    chunk path frames its own already-padded sample slices (stream.py)."""
     cos_b, sin_b = dft_basis(cfg)
     re = jnp.einsum("btw,wf->btf", frames, jnp.asarray(cos_b))
     im = jnp.einsum("btw,wf->btf", frames, jnp.asarray(sin_b))
     power = re * re + im * im  # (B, T, n_freqs)
     mel = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel_filterbank(cfg)))
     return jnp.log(mel + LOG_EPS)
+
+
+def log_mel_spectrogram(wave: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, S) float32 -> (B, T, n_mels) log-mel features.
+
+    power spectrum (power=2) -> mel -> log(x + 1e-20) (``processor.py:33-40``).
+    """
+    return logmel_from_frames(frame_signal(wave, cfg), cfg)
 
 
 def cmvn(
@@ -351,6 +364,11 @@ def parse_batch(
         feats = jnp.concatenate(parts, axis=-1)
     if cfg.cmvn_mode == "per_dim":
         feats = cmvn_per_dim(feats, feat_lengths)
+    elif cfg.cmvn_mode == "fixed":
+        mask = (
+            jnp.arange(feats.shape[1])[None, :] < feat_lengths[:, None]
+        ).astype(feats.dtype)[..., None]
+        feats = ((feats - cfg.cmvn_mean) / cfg.cmvn_std) * mask
     else:
         feats = cmvn(feats, feat_lengths)
     if augment:

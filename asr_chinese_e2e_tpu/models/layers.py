@@ -410,9 +410,15 @@ class SubLayer(nn.Module):
     norm_type: str
     dtype: Any
 
-    @nn.compact
+    def setup(self):
+        # name pinned to the @nn.compact auto-name this module originally
+        # used, so existing checkpoints/param trees are unaffected; exposed
+        # as an attribute because the streaming chunk path must apply the
+        # SAME norm to cached left-context frames (EncoderLayer.chunk_step)
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")
+
     def __call__(self, x, fn, has_aux: bool = False):
-        norm = nn.LayerNorm(dtype=self.dtype)
+        norm = self.norm
         if self.norm_type == "pre":
             if has_aux:
                 y, aux = fn(norm(x))

@@ -60,6 +60,10 @@ def default_config() -> Config:
         frontend="linear",  # or "conv2d" subsampling
         attention_band=0,  # >0: banded encoder self-attn ±band frames
         # (TransformerNew's ±50 local attention, transformer_new.py:53)
+        causal_encoder=False,  # strictly-left-context encoder attention
+        # (with attention_band: a bounded [i-band, i] window) — the
+        # streaming-encoder mode; enables exact chunked incremental
+        # encoding via Encoder.encode_chunk (see stream.py)
         encoder_type="transformer",  # or "conformer" (conv-augmented
         # blocks — net-new family beyond the attention-only reference)
         conv_kernel_size=15,  # conformer depthwise conv width
@@ -92,6 +96,11 @@ class EncoderLayer(nn.Module):
 
     def __call__(self, x, bias, deterministic=True, lengths=None):
         impl = self.cfg.get("attn_impl", "xla")
+        # banded / causal patterns live in the additive bias, which only the
+        # xla path consumes — the kernel paths would silently compute FULL
+        # attention, so correctness forces the bias path here
+        if self.cfg.get("attention_band", 0) or self.cfg.get("causal_encoder", False):
+            impl = "xla"
         if impl == "flash" and lengths is not None:
             x = self.sub1(x, lambda y: self.attn.flash(y, lengths, deterministic))
         elif impl == "fused" and lengths is not None:
@@ -102,6 +111,26 @@ class EncoderLayer(nn.Module):
         else:
             x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
         return self.sub2(x, lambda y: self.ffn(y, deterministic))
+
+    def chunk_step(self, x, tail, bias):
+        """Incremental encode step for the streaming (causal-banded) mode.
+
+        ``x``: (B, F, D) the new chunk's layer input; ``tail``: (B, w, D)
+        this layer's input for the previous ``w`` frames (the full causal
+        receptive field at band w); ``bias``: (1, 1, F, w+F) additive mask
+        built by ``Encoder.encode_chunk``. Exact: queries are the F new
+        frames, keys/values the tail + new frames — identical math to the
+        offline causal-banded pass restricted to the new rows."""
+        if self.cfg.norm_type == "pre":
+            qn = self.sub1.norm(x)
+            kv = jnp.concatenate([self.sub1.norm(tail), qn], axis=1)
+            x = x + self.attn(qn, kv, bias, True)
+            x = x + self.ffn(self.sub2.norm(x), True)
+        else:
+            kv = jnp.concatenate([tail, x], axis=1)
+            x = self.sub1.norm(x + self.attn(x, kv, bias, True))
+            x = self.sub2.norm(x + self.ffn(x, True))
+        return x
 
 
 class ConformerBlock(nn.Module):
@@ -140,6 +169,8 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * self.ffn1(self.ln_ffn1(x), deterministic)
         a = self.ln_attn(x)
         impl = self.cfg.get("attn_impl", "xla")
+        if self.cfg.get("attention_band", 0) or self.cfg.get("causal_encoder", False):
+            impl = "xla"  # bias-borne patterns: see EncoderLayer.__call__
         if impl == "flash" and lengths is not None:
             a = self.attn.flash(a, lengths, deterministic)
         elif impl == "fused" and lengths is not None:
@@ -199,7 +230,16 @@ class Encoder(nn.Module):
         x = self.pe(x)
         x = self.dropout(x, deterministic=deterministic)
         bias = padding_bias(feat_lengths, x.shape[1])
-        if c.get("attention_band", 0):
+        if c.get("causal_encoder", False):
+            from ..ops.masks import causal_banded_bias, causal_bias
+
+            band = c.get("attention_band", 0)
+            bias = bias + (
+                causal_banded_bias(x.shape[1], band)
+                if band
+                else causal_bias(x.shape[1])
+            )
+        elif c.get("attention_band", 0):
             from ..ops.masks import banded_bias
 
             bias = bias + banded_bias(x.shape[1], c.attention_band)
@@ -208,6 +248,70 @@ class Encoder(nn.Module):
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x, feat_lengths
+
+    # -- streaming: exact chunked incremental encoding ----------------------
+    def init_chunk_tails(self, batch: int):
+        """Zero left-context carries, one (B, band, d_model) per layer.
+        Zeros are never attended: ``encode_chunk`` masks keys whose global
+        frame index is negative."""
+        c = self.cfg
+        w = c.attention_band
+        dt = self.dtype
+        return [
+            jnp.zeros((batch, w, c.d_model), dt)
+            for _ in range(c.num_encoder_layers)
+        ]
+
+    def encode_chunk(self, feats_chunk, tails, offset):
+        """Encode F new frames given per-layer left-context carries — EXACT
+        chunked evaluation of the causal-banded encoder: concatenating the
+        outputs over chunks equals one full-sequence pass (tested in
+        tests/test_streaming_encoder.py).
+
+        Requires ``causal_encoder=True`` + ``attention_band`` w > 0 (the
+        causal receptive field of one layer is then w frames, so a (B, w,
+        d) input tail per layer is sufficient state), the linear frontend
+        and the plain transformer stack (conformer's depthwise conv would
+        need its own carry).
+
+        feats_chunk: (B, F, input_dim); tails: list of (B, w, d_model), the
+        previous w frames of each layer's INPUT (init_chunk_tails at
+        stream start); offset: int32 global frame index of the chunk's
+        first frame (traced — one compiled program serves every chunk).
+        Returns (enc_chunk (B, F, d), new_tails). All F frames are treated
+        as real: feed only full chunks mid-stream and pad the final flush
+        chunk, ignoring outputs past its valid count (causality keeps
+        padded FUTURE frames out of every valid row)."""
+        c = self.cfg
+        assert c.get("causal_encoder", False) and c.get("attention_band", 0), (
+            "encode_chunk requires causal_encoder=True and attention_band>0"
+        )
+        assert c.frontend == "linear", "encode_chunk: linear frontend only"
+        assert c.get("encoder_type", "transformer") == "transformer", (
+            "encode_chunk: transformer encoder only"
+        )
+        w = c.attention_band
+        x = self.input_norm(self.input_proj(feats_chunk.astype(self.dtype)))
+        f = x.shape[1]
+        table = jnp.asarray(sinusoid_table(self.pe.max_len, c.d_model))
+        pe = jax.lax.dynamic_slice_in_dim(table, offset, f, axis=0)
+        x = x + pe[None].astype(x.dtype)
+        # (1, 1, F, w+F) bias: query i sits at global offset+i, key j at
+        # global offset-w+j; allow 0 <= (global q - global k) <= w and
+        # global k >= 0 (stream start: the zero carry is never attended)
+        qi = jnp.arange(f)[:, None]
+        kj = jnp.arange(w + f)[None, :]
+        rel = (qi + w) - kj
+        gk = offset - w + kj
+        allow = (rel >= 0) & (rel <= w) & (gk >= 0)
+        bias = jnp.where(allow, 0.0, NEG_INF)[None, None]
+        new_tails = []
+        for layer, tail in zip(self.layers, tails):
+            new_tails.append(jnp.concatenate([tail, x], axis=1)[:, -w:])
+            x = layer.chunk_step(x, tail, bias)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        return x, new_tails
 
 
 class DecoderLayer(nn.Module):
@@ -463,6 +567,21 @@ class SpeechTransformer(nn.Module):
     # -- decoding entry points (see decode/) --------------------------------
     def encode(self, feats, feat_lengths):
         return self.encoder(feats, feat_lengths, deterministic=True)
+
+    # -- streaming entry points (see stream.py) -----------------------------
+    def init_chunk_tails(self, batch: int):
+        return self.encoder.init_chunk_tails(batch)
+
+    def encode_chunk(self, feats_chunk, tails, offset):
+        """Incremental encode of F new frames (+ CTC log-probs when the
+        head exists). Exact w.r.t. the offline causal-banded encode."""
+        enc, new_tails = self.encoder.encode_chunk(feats_chunk, tails, offset)
+        lp = None
+        if self.cfg.ctc_weight > 0.0:
+            lp = jax.nn.log_softmax(
+                self.ctc_head(enc).astype(jnp.float32), -1
+            )
+        return enc, new_tails, lp
 
     def decode_logits(self, ys_in, ys_in_lengths, enc_out, enc_lengths):
         """Uncached full-prefix decoder forward (used by rescoring and as a

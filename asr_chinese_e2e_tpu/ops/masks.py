@@ -54,3 +54,16 @@ def banded_bias(max_len: int, band: int) -> jnp.ndarray:
     row = jnp.arange(max_len)[:, None]
     col = jnp.arange(max_len)[None, :]
     return jnp.where(jnp.abs(col - row) <= band, 0.0, NEG_INF)[None, None, :, :]
+
+
+def causal_banded_bias(max_len: int, band: int) -> jnp.ndarray:
+    """(1, 1, T, T) additive bias allowing only i-band <= j <= i.
+
+    The streaming-encoder attention pattern: strictly left context, bounded
+    at ``band`` frames — each output depends on a fixed-width past window,
+    which is what makes exact chunked incremental encoding possible
+    (``Encoder.encode_chunk`` carries ``band`` frames of per-layer state)."""
+    row = jnp.arange(max_len)[:, None]
+    col = jnp.arange(max_len)[None, :]
+    keep = (col <= row) & (row - col <= band)
+    return jnp.where(keep, 0.0, NEG_INF)[None, None, :, :]

@@ -154,9 +154,22 @@ class EnergyGate:
 class StreamingRecognizer:
     """Incremental recognizer over chunked int16 PCM.
 
-    One compiled encode(+CTC) program per duration bucket serves the whole
-    stream; partials decode the padded open-segment prefix with CTC
-    greedy, finals use ``mode`` (ctc_greedy | beam | joint)."""
+    Two encode strategies, selected by ``incremental``:
+
+    - **prefix re-encode** (any model): one compiled encode(+CTC) program
+      per duration bucket; each partial re-encodes the padded open prefix
+      (O(prefix) per cadence).
+    - **incremental** (requires a streaming model: ``causal_encoder=True``
+      + ``attention_band`` > 0, plus ``cmvn_mode='fixed'`` — the causal
+      feature normalisation): ONE compiled chunk program encodes only the
+      NEW frames each cadence, carrying per-layer left-context state
+      (``Encoder.encode_chunk``), so partial cost is O(chunk) and finals
+      reuse the accumulated encoder output instead of re-encoding. Exact:
+      accumulated outputs equal the offline causal encode (round-3 VERDICT
+      #8 stretch; equivalence tested in tests/test_streaming_encoder.py).
+
+    Partials are CTC greedy; finals use ``mode`` (ctc_greedy | beam |
+    joint)."""
 
     def __init__(
         self,
@@ -171,6 +184,8 @@ class StreamingRecognizer:
         max_len: int = 64,
         ctc_weight: float = 0.3,
         gate: Optional[EnergyGate] = None,
+        incremental: str = "auto",  # "auto" | "on" | "off"
+        chunk_frames: int = 32,  # LFR frames per incremental chunk (~0.96 s)
     ) -> None:
         self.model, self.params, self.vocab = model, params, vocab
         self.feat_cfg = feat_cfg
@@ -185,6 +200,32 @@ class StreamingRecognizer:
         )
         self._since_partial = 0
         self._encode_fns: dict = {}
+        self.chunk_frames = chunk_frames
+        cfg = getattr(model, "cfg", None)
+        can_inc = (
+            cfg is not None
+            and cfg.get("causal_encoder", False)
+            and cfg.get("attention_band", 0) > 0
+            and cfg.get("frontend", "linear") == "linear"
+            and cfg.get("encoder_type", "transformer") == "transformer"
+            and cfg.get("ctc_weight", 0.0) > 0.0
+            and feat_cfg.cmvn_mode == "fixed"
+            and not feat_cfg.use_delta
+            and not feat_cfg.use_delta_delta
+        )
+        if incremental == "on" and not can_inc:
+            raise ValueError(
+                "incremental streaming requires causal_encoder=True, "
+                "attention_band>0, a CTC head, the linear-frontend "
+                "transformer encoder, cmvn_mode='fixed' and no Δ features"
+            )
+        self.incremental = can_inc if incremental == "auto" else incremental == "on"
+        self._chunk_prog = None
+        self._inc_start: Optional[int] = None
+        self._inc_lfr_done = 0
+        self._inc_tails = None
+        self._inc_enc: List[np.ndarray] = []
+        self._inc_lp: List[np.ndarray] = []
 
     # -- compiled programs, one per bucket ------------------------------
     def _encode_fn(self, bucket: int):
@@ -223,6 +264,162 @@ class StreamingRecognizer:
         ids = ctc_greedy_decode(lp, enc_lens)[0]
         return self.vocab.ids_to_str(ids)
 
+    # -- incremental (chunked causal) path ------------------------------
+    def _chunk_program(self):
+        """The ONE compiled program of the incremental path: featurize a
+        pre-padded sample slice (framing → log-mel → fixed CMVN → chunk-
+        local LFR) and encode it against the carried per-layer tails."""
+        if self._chunk_prog is None:
+            cfg, model = self.feat_cfg, self.model
+            e = self.chunk_frames
+            n, m = cfg.lfr_n, cfg.lfr_m
+            hop, win = cfg.hop_length, cfg.win_length
+            nb = e * n + (m - n)  # base frames per chunk (m-n frame overlap)
+            fidx = np.arange(nb)[:, None] * hop + np.arange(win)[None, :]
+            lidx = np.arange(e)[:, None] * n + np.arange(m)[None, :]
+
+            def run(params, wave_slice, base_valid, tails, offset):
+                from .data.features import dct_matrix, logmel_from_frames
+
+                w = wave_slice.astype(jnp.float32) * (1.0 / 32768.0)
+                frames = w[:, jnp.asarray(fidx)]  # (1, nb, win)
+                feats = logmel_from_frames(frames, cfg)
+                if cfg.feature_type == "mfcc":
+                    feats = feats @ jnp.asarray(
+                        dct_matrix(cfg.n_mels, cfg.n_mfcc)
+                    )
+                feats = (feats - cfg.cmvn_mean) / cfg.cmvn_std
+                # chunk-local LFR stack; tail clipping (base_valid < nb)
+                # only ever happens on the FINAL flush chunk, mirroring
+                # lfr_stack's clip at the utterance's last valid frame
+                idx = jnp.minimum(jnp.asarray(lidx), base_valid - 1)
+                st = feats[0][idx].reshape(1, e, m * feats.shape[-1])
+                return model.apply(
+                    params, st, tails, offset, method="encode_chunk"
+                )
+
+            self._chunk_prog = jax.jit(run)
+        return self._chunk_prog
+
+    def _inc_reset(self, start: int) -> None:
+        cfg = self.model.cfg
+        dt = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        self._inc_start = start
+        self._inc_lfr_done = 0
+        self._inc_tails = [
+            jnp.zeros((1, cfg.attention_band, cfg.d_model), dt)
+            for _ in range(cfg.num_encoder_layers)
+        ]
+        self._inc_enc, self._inc_lp = [], []
+
+    def _inc_advance(self, start: int, prefix: np.ndarray, final: bool) -> None:
+        """Encode newly-available complete LFR frames of the open segment.
+
+        ``prefix``: ALL segment samples so far. Mid-stream only frames
+        whose analysis windows are fully determined by received samples
+        are emitted (bit-identical to the offline featurization of the
+        eventual full segment); ``final`` flushes the tail with the
+        offline end reflect-padding and LFR edge clipping."""
+        if start != self._inc_start:
+            self._inc_reset(start)
+        cfg = self.feat_cfg
+        hop, win = cfg.hop_length, cfg.win_length
+        n, m = cfg.lfr_n, cfg.lfr_m
+        e = self.chunk_frames
+        nb = e * n + (m - n)
+        samp = (nb - 1) * hop + win
+        pad = cfg.n_fft // 2
+        prefix = prefix[: self.buckets[-1]]
+        if len(prefix) <= pad:
+            return
+        if final:
+            padded = np.pad(prefix, (pad, pad), mode="reflect")
+            total_base = len(prefix) // hop + 1  # center=True frame count
+            target_lfr = -(-total_base // n)
+        else:
+            padded = np.pad(prefix, (pad, 0), mode="reflect")
+            avail_base = (len(padded) - win) // hop + 1
+            # LFR frame j needs base frames [jn, jn+m); emit once all real
+            total_base = None
+            target_lfr = max(0, (avail_base - m) // n + 1)
+        run = self._chunk_program()
+        while True:
+            j0 = self._inc_lfr_done
+            todo = target_lfr - j0
+            if todo <= 0 or (not final and todo < e):
+                break  # mid-stream: full chunks only (static shapes)
+            s0 = j0 * n * hop
+            sl = padded[s0 : s0 + samp]
+            if len(sl) < samp:
+                sl = np.pad(sl, (0, samp - len(sl)))
+            base_valid = nb if not final else min(total_base - j0 * n, nb)
+            n_valid = min(e, todo)
+            enc, self._inc_tails, lp = run(
+                self.params, sl[None], np.int32(base_valid),
+                self._inc_tails, np.int32(j0),
+            )
+            self._inc_enc.append(np.asarray(enc[0, :n_valid], np.float32))
+            self._inc_lp.append(np.asarray(lp[0, :n_valid], np.float32))
+            self._inc_lfr_done = j0 + n_valid
+
+    def _inc_text(self) -> str:
+        if not self._inc_lp:
+            return ""
+        lp = np.concatenate(self._inc_lp, axis=0)
+        ids = ctc_greedy_decode(
+            jnp.asarray(lp[None]), jnp.asarray([lp.shape[0]], jnp.int32)
+        )[0]
+        return self.vocab.ids_to_str(ids)
+
+    def _inc_final_text(self, start: int, seg: np.ndarray) -> str:
+        """Final decode from the ACCUMULATED encoder output (no re-encode)."""
+        self._inc_advance(start, seg, final=True)
+        text = ""
+        if self.mode == "ctc_greedy" or not self._inc_enc:
+            text = self._inc_text()
+        else:
+            enc_np = np.concatenate(self._inc_enc, axis=0)  # (T, d)
+            lp_np = np.concatenate(self._inc_lp, axis=0)  # (T, V)
+            t = enc_np.shape[0]
+            bucket = self._bucket_of(min(len(seg), self.buckets[-1]))
+            t_b = int(
+                self.feat_cfg.num_lfr_frames(self.feat_cfg.num_frames(bucket))
+            )
+            dt = (
+                jnp.bfloat16
+                if self.model.cfg.get("dtype") == "bfloat16"
+                else jnp.float32
+            )
+            enc = jnp.zeros((1, t_b, enc_np.shape[1]), dt)
+            enc = enc.at[0, :t].set(jnp.asarray(enc_np, dt))
+            # pad CTC rows blank-certain; the searches mask by enc_lens
+            lp_pad = np.full((1, t_b, lp_np.shape[1]), -1e9, np.float32)
+            lp_pad[0, :, 0] = 0.0
+            lp_pad[0, :t] = lp_np
+            enc_lens = jnp.asarray([t], jnp.int32)
+            if self.mode == "beam":
+                from .decode.beam import beam_search
+
+                res = beam_search(
+                    self.model, self.params, enc, enc_lens,
+                    beam_size=self.beam_size, max_len=self.max_len,
+                ).materialize()
+                text = self.vocab.ids_to_str(res.nbest_ids(1)[0][0])
+            elif self.mode == "joint":
+                from .decode.joint import joint_beam_search
+
+                res = joint_beam_search(
+                    self.model, self.params, enc, enc_lens,
+                    beam_size=self.beam_size, max_len=self.max_len,
+                    ctc_weight=self.ctc_weight,
+                    ctc_log_probs=jnp.asarray(lp_pad),
+                ).materialize()
+                text = self.vocab.ids_to_str(res.nbest_ids(1)[0][0])
+            else:
+                raise ValueError(f"unknown stream decode mode {self.mode!r}")
+        self._inc_start = None  # segment closed; next one resets
+        return text
+
     def _final_text(self, samples: np.ndarray) -> str:
         enc_out, enc_lens, lp = self._run_encode(samples)
         if self.mode == "ctc_greedy":
@@ -251,13 +448,13 @@ class StreamingRecognizer:
         """Feed a chunk of int16 PCM; returns recognition events."""
         events: List[Event] = []
         for start, seg in self.gate.feed(samples):
+            text = (
+                self._inc_final_text(start, seg)
+                if self.incremental
+                else self._final_text(seg)
+            )
             events.append(
-                Event(
-                    "final",
-                    self._final_text(seg),
-                    start / self.sr,
-                    (start + len(seg)) / self.sr,
-                )
+                Event("final", text, start / self.sr, (start + len(seg)) / self.sr)
             )
             self._since_partial = 0
         if self.gate.in_speech:
@@ -265,11 +462,17 @@ class StreamingRecognizer:
             if self._since_partial >= self.partial_every:
                 self._since_partial = 0
                 start, prefix = self.gate.open_prefix()
-                _, enc_lens, lp = self._run_encode(prefix)
+                if self.incremental:
+                    # O(chunk): encode only the newly-completed frames
+                    self._inc_advance(start, prefix, final=False)
+                    text = self._inc_text()
+                else:
+                    _, enc_lens, lp = self._run_encode(prefix)
+                    text = self._ctc_text(lp, enc_lens)
                 events.append(
                     Event(
                         "partial",
-                        self._ctc_text(lp, enc_lens),
+                        text,
                         start / self.sr,
                         (start + len(prefix)) / self.sr,
                     )
@@ -280,13 +483,13 @@ class StreamingRecognizer:
         """End of stream: flush the gate and decode any open segment."""
         events: List[Event] = []
         for start, seg in self.gate.finish():
+            text = (
+                self._inc_final_text(start, seg)
+                if self.incremental
+                else self._final_text(seg)
+            )
             events.append(
-                Event(
-                    "final",
-                    self._final_text(seg),
-                    start / self.sr,
-                    (start + len(seg)) / self.sr,
-                )
+                Event("final", text, start / self.sr, (start + len(seg)) / self.sr)
             )
         return events
 

@@ -414,10 +414,14 @@ class Trainer:
             # (step_before, step] crossed the cadence boundary.
             if (
                 self.dev_loader is not None
+                and cfg.eval_every_iter  # 0 = mid-epoch eval disabled
                 and step // cfg.eval_every_iter > step_before // cfg.eval_every_iter
             ):
                 self.evaluate(self.dev_loader, "dev/")
-            if step // cfg.save_every_iter > step_before // cfg.save_every_iter:
+            if (
+                cfg.save_every_iter  # 0 = cadence saves disabled
+                and step // cfg.save_every_iter > step_before // cfg.save_every_iter
+            ):
                 self.save()
 
         group: list = []

@@ -73,6 +73,9 @@ NORM_TYPE = os.environ.get("SOAK_NORM", "pre")
 EVAL_EVERY = int(os.environ.get("SOAK_EVAL_EVERY", 300))
 TRAIN_N = int(os.environ.get("SOAK_TRAIN_N", 3000))
 NOAM_FACTOR = os.environ.get("SOAK_FACTOR", "1.0")
+# phase-2 wall budget: larger corpora (SOAK_TRAIN_N) need more than the
+# default hour under tunnel congestion
+TIMEOUT_S = int(os.environ.get("SOAK_TIMEOUT", 3600))
 
 
 def log(*a):
@@ -165,7 +168,7 @@ def run_until_killed(cmd, kill_after_s):
         )
 
 
-def run_to_completion(cmd, timeout_s=3600):
+def run_to_completion(cmd, timeout_s=TIMEOUT_S):
     log("resume run:", " ".join(cmd[-2:]))
     proc = subprocess.run(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

@@ -25,11 +25,28 @@ from ..train.train_step import make_step_fns
 
 
 def feature_config_from(cfg: Config) -> FeatureConfig:
+    """The ONE cfg→FeatureConfig mapping (training and decode must agree:
+    dropping a knob here would decode with different features than the
+    model was trained on — e.g. MFCC or per-dim CMVN experiments)."""
     return FeatureConfig(
         sample_rate=cfg.get("sample_rate", 16000),
         n_mels=cfg.get("n_mels", 80),
         lfr_m=cfg.get("lfr_m", 4),
         lfr_n=cfg.get("lfr_n", 3),
+        feature_type=cfg.get("feature_type", "fbank"),
+        n_mfcc=cfg.get("n_mfcc", 40),
+        cmvn_mode=cfg.get("cmvn_mode", "global"),
+        cmvn_mean=cfg.get("cmvn_mean", 0.0),
+        cmvn_std=cfg.get("cmvn_std", 1.0),
+        use_delta=cfg.get("use_delta", False),
+        use_delta_delta=cfg.get("use_delta_delta", False),
+        fbank_impl=cfg.get("fbank_impl", "xla"),
+        freq_mask_param=cfg.get("freq_mask_param", 30),
+        time_mask_param=cfg.get("time_mask_param", 40),
+        num_freq_masks=cfg.get("num_freq_masks", 1),
+        num_time_masks=cfg.get("num_time_masks", 1),
+        num_time_warps=cfg.get("num_time_warps", 0),
+        time_warp_param=cfg.get("time_warp_param", 5),
     )
 
 

@@ -21,7 +21,6 @@ import sys
 from asr_chinese_e2e_tpu.core.config import Config, resolve_config
 from asr_chinese_e2e_tpu.core.registry import get_model
 from asr_chinese_e2e_tpu.data.batching import BucketedLoader
-from asr_chinese_e2e_tpu.data.features import FeatureConfig
 from asr_chinese_e2e_tpu.data.vocab import Vocab
 from asr_chinese_e2e_tpu.train.optimizer import default_train_config, make_optimizer
 from asr_chinese_e2e_tpu.train.trainer import Trainer
@@ -78,17 +77,11 @@ def train(**cli_kwargs):
     model_cls, model_default = get_model(model_name)
     cfg = resolve_config(base, model_default(), cli_kwargs)
 
-    feat_cfg = FeatureConfig(
-        sample_rate=cfg.sample_rate, n_mels=cfg.n_mels,
-        lfr_m=cfg.lfr_m, lfr_n=cfg.lfr_n,
-        # AudioParser2-parity knobs (processor.py:106-152)
-        feature_type=cfg.get("feature_type", "fbank"),
-        n_mfcc=cfg.get("n_mfcc", 40),
-        cmvn_mode=cfg.get("cmvn_mode", "global"),
-        use_delta=cfg.get("use_delta", False),
-        use_delta_delta=cfg.get("use_delta_delta", False),
-        fbank_impl=cfg.get("fbank_impl", "xla"),
-    )
+    # the ONE cfg→FeatureConfig mapping — shared with recognize.py's
+    # load_experiment so train and decode can never disagree on features
+    from asr_chinese_e2e_tpu.utils.experiment import feature_config_from
+
+    feat_cfg = feature_config_from(cfg)
     if "input_dim" not in cli_kwargs and cfg.get("frontend", "linear") == "linear":
         cfg.build(input_dim=feat_cfg.feature_dim)
 

@@ -123,6 +123,55 @@ def main(
     for mode, sec, p, f in rows:
         print(f"{mode} | {sec:g}s | {p:.1f} | {f:.1f}")
 
+    # ---- incremental (chunked causal-banded) arm ----------------------
+    # Same params (causal_encoder/attention_band only change the attention
+    # BIAS, not the parameter tree); fixed CMVN; partial cost is one chunk
+    # program + host CTC collapse, independent of the prefix length.
+    from asr_chinese_e2e_tpu.core.config import Config
+
+    inc_cfg = Config(**dict(cfg.items())).build(
+        causal_encoder=True, attention_band=50
+    )
+    inc_feat = FeatureConfig(cmvn_mode="fixed", cmvn_mean=-18.0, cmvn_std=6.0)
+    inc_model = SpeechTransformer(inc_cfg, vocab_size)
+    sec = buckets[-1]
+    n_char = max(1, int(sec / 0.3))
+    text = "".join(chars[rng.randint(40)] for _ in range(n_char))
+    seg = (synth_wave(text, chars, freqs, rng) * 32767).astype(np.int16)
+    seg = seg[: int(sec * sr)]
+    cadence = int(1.0 * sr)
+    for mode in modes.split(","):
+        rec = StreamingRecognizer(
+            inc_model, params, vocab, inc_feat, mode=mode,
+            bucket_seconds=buckets, beam_size=beam, max_len=max_len,
+            incremental="on",
+        )
+        # warm the chunk program + final path once
+        for i in range(cadence, len(seg), cadence):
+            rec._inc_advance(0, seg[:i], final=False)
+            rec._inc_text()
+        rec._inc_final_text(0, seg)
+        lat = []
+        final_s = 0.0
+        for _ in range(n_iters):
+            rec._inc_reset(-1)  # force fresh segment state
+            for i in range(cadence, len(seg), cadence):
+                t0 = time.perf_counter()
+                rec._inc_advance(0, seg[:i], final=False)
+                rec._inc_text()
+                lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            rec._inc_final_text(0, seg)
+            final_s += time.perf_counter() - t0
+        lat_ms = np.asarray(lat) * 1e3
+        print(
+            f"[incremental {mode} seg={sec:g}s] partial cadence "
+            f"mean {lat_ms.mean():.1f} ms / p95 "
+            f"{np.percentile(lat_ms, 95):.1f} ms (prefix-independent), "
+            f"final {final_s / n_iters * 1e3:.1f} ms",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     from asr_chinese_e2e_tpu.utils.cli import parse_kwargs

@@ -100,3 +100,32 @@ def test_parse_batch_mfcc_pipeline():
     want, want_lens = lfr_stack(cmvn(jnp.asarray(want_cep), flens), flens, cfg)
     np.testing.assert_allclose(np.asarray(feats), np.asarray(want), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(want_lens))
+
+
+def test_feature_config_from_roundtrips_every_knob():
+    """Train and decode share ONE cfg->FeatureConfig mapping — dropping a
+    knob here (r4 bug: decode rebuilt feat_cfg with only 4 of the fields)
+    would decode MFCC / per-dim-CMVN / delta experiments with the wrong
+    features."""
+    import dataclasses
+
+    from asr_chinese_e2e_tpu.core.config import Config
+    from asr_chinese_e2e_tpu.utils.experiment import feature_config_from
+
+    overrides = dict(
+        sample_rate=8000, n_mels=24, lfr_m=3, lfr_n=2,
+        feature_type="mfcc", n_mfcc=11, cmvn_mode="fixed",
+        cmvn_mean=-7.5, cmvn_std=3.25, use_delta=True,
+        use_delta_delta=True, fbank_impl="pallas",
+        freq_mask_param=10, time_mask_param=20, num_freq_masks=2,
+        num_time_masks=3, num_time_warps=1, time_warp_param=9,
+    )
+    got = feature_config_from(Config(**overrides))
+    for k, v in overrides.items():
+        assert getattr(got, k) == v, k
+    # every non-structural FeatureConfig field must be mapped (a new field
+    # added without a mapping shows up here)
+    mapped = set(overrides) | {"win_length", "hop_length", "f_min", "f_max",
+                               "n_fft", "center"}
+    missing = {f.name for f in dataclasses.fields(FeatureConfig)} - mapped
+    assert not missing, f"feature_config_from does not map: {missing}"

@@ -33,6 +33,14 @@ def main(argv):
     rec = StreamingRecognizer(
         model, params, vocab, feat_cfg, mode=mode,
         beam_size=int(kw.get("beam_size", 10)),
+        incremental=kw.get("incremental", "auto"),
+    )
+    print(
+        "# encode path:",
+        "incremental (O(chunk) partials)" if rec.incremental
+        else "prefix re-encode (train with --causal_encoder true "
+             "--attention_band N --cmvn_mode fixed for incremental)",
+        flush=True,
     )
     chunk = int(feat_cfg.sample_rate * chunk_ms / 1000)
     t = 0.0

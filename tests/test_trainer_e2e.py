@@ -139,3 +139,15 @@ def test_steps_per_dispatch_matches_single_step(corpus, tmp_path):
     for (s1, l1), (s2, l2) in zip(base, fused):
         assert s1 == s2
         np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+
+def test_zero_cadences_disable_mid_epoch_eval_and_save(corpus, tmp_path):
+    """eval_every_iter=0 / save_every_iter=0 mean "cadence disabled" —
+    they used to ZeroDivisionError in the dispatch loop (r4). Epoch-end
+    evals and the final save still run."""
+    tr, _ = make_trainer(corpus, str(tmp_path), num_epoch=1)
+    tr.cfg.build(eval_every_iter=0, save_every_iter=0)
+    tr.train()
+    rows = [json.loads(l) for l in open(os.path.join(tr.exp_dir, "scalars.jsonl"))]
+    assert any("train/loss" in r for r in rows)
+    assert any("dev/loss" in r for r in rows)  # epoch-end eval unaffected

@@ -15,3 +15,21 @@ Built from scratch with the capabilities of the reference repo
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (opt-out: ASR_COMPILE_CACHE=0).
+# Flagship-program compiles through this environment's remote-compile
+# tunnel run 80-1100 s; every CLI/bench/script process repeats them. The
+# persistent cache serializes compiled executables to disk so a repeated
+# (program, shapes, flags) compile is a file read. Deserialization
+# failures fall back to a normal compile (non-fatal by design).
+import os as _os
+
+if _os.environ.get("ASR_COMPILE_CACHE", "1") != "0":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("ASR_COMPILE_CACHE_DIR", "/tmp/asr_jit_cache"),
+    )
+    # don't bother caching sub-second compiles
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

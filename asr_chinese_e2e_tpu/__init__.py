@@ -27,9 +27,15 @@ import os as _os
 if _os.environ.get("ASR_COMPILE_CACHE", "1") != "0":
     import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("ASR_COMPILE_CACHE_DIR", "/tmp/asr_jit_cache"),
-    )
-    # don't bother caching sub-second compiles
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # CPU runs opt out automatically: CPU AOT entries pin host machine
+    # features (XLA warns of SIGILL on mismatch) and CPU compiles are
+    # fast anyway. Callers forcing CPU do so via jax.config before
+    # importing this package (CLAUDE.md environment note), so the
+    # platform setting is readable here without initializing a backend.
+    if "cpu" not in str(_jax.config.jax_platforms or ""):
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("ASR_COMPILE_CACHE_DIR", "/tmp/asr_jit_cache"),
+        )
+        # don't bother caching sub-second compiles
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# no persistent compile cache under tests (must be set before the
+# package import enables it): CPU AOT cache entries record host machine
+# features and XLA warns of SIGILL on mismatch — the cache exists to
+# save remote-TPU compiles, worthless for these tiny programs
+os.environ["ASR_COMPILE_CACHE"] = "0"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -294,9 +294,14 @@ class StreamingRecognizer:
                 # lfr_stack's clip at the utterance's last valid frame
                 idx = jnp.minimum(jnp.asarray(lidx), base_valid - 1)
                 st = feats[0][idx].reshape(1, e, m * feats.shape[-1])
-                return model.apply(
+                enc, new_tails, lp = model.apply(
                     params, st, tails, offset, method="encode_chunk"
                 )
+                # argmax ON device: the per-cadence host fetch is then E
+                # int32s (~128 B) instead of the (E, V) log-probs
+                # (~0.5 MB) — on a remote-TPU link the lp fetch dominated
+                # partial latency (BENCH_NOTES r4 streaming)
+                return enc, new_tails, lp, jnp.argmax(lp[0], axis=-1)
 
             self._chunk_prog = jax.jit(run)
         return self._chunk_prog
@@ -310,7 +315,7 @@ class StreamingRecognizer:
             jnp.zeros((1, cfg.attention_band, cfg.d_model), dt)
             for _ in range(cfg.num_encoder_layers)
         ]
-        self._inc_enc, self._inc_lp = [], []
+        self._inc_enc, self._inc_lp, self._inc_ids = [], [], []
 
     def _inc_advance(self, start: int, prefix: np.ndarray, final: bool) -> None:
         """Encode newly-available complete LFR frames of the open segment.
@@ -354,22 +359,28 @@ class StreamingRecognizer:
                 sl = np.pad(sl, (0, samp - len(sl)))
             base_valid = nb if not final else min(total_base - j0 * n, nb)
             n_valid = min(e, todo)
-            enc, self._inc_tails, lp = run(
+            enc, self._inc_tails, lp, ids = run(
                 self.params, sl[None], np.int32(base_valid),
                 self._inc_tails, np.int32(j0),
             )
-            self._inc_enc.append(np.asarray(enc[0, :n_valid], np.float32))
-            self._inc_lp.append(np.asarray(lp[0, :n_valid], np.float32))
+            # enc/lp stay ON DEVICE until a final needs them; partials
+            # fetch only the tiny argmax ids
+            self._inc_enc.append(enc[0, :n_valid])
+            self._inc_lp.append(lp[0, :n_valid])
+            self._inc_ids.append(np.asarray(ids[:n_valid]))
             self._inc_lfr_done = j0 + n_valid
 
     def _inc_text(self) -> str:
-        if not self._inc_lp:
+        if not self._inc_ids:
             return ""
-        lp = np.concatenate(self._inc_lp, axis=0)
-        ids = ctc_greedy_decode(
-            jnp.asarray(lp[None]), jnp.asarray([lp.shape[0]], jnp.int32)
-        )[0]
-        return self.vocab.ids_to_str(ids)
+        # greedy collapse over the accumulated per-frame argmax ids (the
+        # argmax ran on device per chunk; frames concatenate exactly)
+        from .data.vocab import BLANK_ID
+
+        row = np.concatenate(self._inc_ids)
+        keep = np.concatenate([[True], row[1:] != row[:-1]])
+        collapsed = row[keep]
+        return self.vocab.ids_to_str(collapsed[collapsed != BLANK_ID].tolist())
 
     def _inc_final_text(self, start: int, seg: np.ndarray) -> str:
         """Final decode from the ACCUMULATED encoder output (no re-encode)."""
@@ -378,9 +389,10 @@ class StreamingRecognizer:
         if self.mode == "ctc_greedy" or not self._inc_enc:
             text = self._inc_text()
         else:
-            enc_np = np.concatenate(self._inc_enc, axis=0)  # (T, d)
-            lp_np = np.concatenate(self._inc_lp, axis=0)  # (T, V)
-            t = enc_np.shape[0]
+            # assemble ON DEVICE — the accumulated chunks never leave HBM
+            enc_cat = jnp.concatenate(self._inc_enc, axis=0)  # (T, d)
+            lp_cat = jnp.concatenate(self._inc_lp, axis=0)  # (T, V)
+            t = int(enc_cat.shape[0])
             bucket = self._bucket_of(min(len(seg), self.buckets[-1]))
             t_b = int(
                 self.feat_cfg.num_lfr_frames(self.feat_cfg.num_frames(bucket))
@@ -390,12 +402,11 @@ class StreamingRecognizer:
                 if self.model.cfg.get("dtype") == "bfloat16"
                 else jnp.float32
             )
-            enc = jnp.zeros((1, t_b, enc_np.shape[1]), dt)
-            enc = enc.at[0, :t].set(jnp.asarray(enc_np, dt))
+            enc = jnp.zeros((1, t_b, enc_cat.shape[1]), dt)
+            enc = enc.at[0, :t].set(enc_cat.astype(dt))
             # pad CTC rows blank-certain; the searches mask by enc_lens
-            lp_pad = np.full((1, t_b, lp_np.shape[1]), -1e9, np.float32)
-            lp_pad[0, :, 0] = 0.0
-            lp_pad[0, :t] = lp_np
+            lp_pad = jnp.full((t_b, lp_cat.shape[1]), -1e9, jnp.float32)
+            lp_pad = lp_pad.at[:, 0].set(0.0).at[:t].set(lp_cat)[None]
             enc_lens = jnp.asarray([t], jnp.int32)
             if self.mode == "beam":
                 from .decode.beam import beam_search

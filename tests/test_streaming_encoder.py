@@ -213,8 +213,10 @@ def test_incremental_requires_streaming_model(stream_recognizer_parts):
 
 
 def test_fused_impl_falls_back_for_band():
-    """attn_impl='fused' must not silently drop the banded/causal pattern:
-    the encoder forces the bias path, so outputs equal the xla path."""
+    """attn_impl='fused' must not silently drop the banded/causal pattern.
+    Since round 5 the fused kernel takes the pattern IN KERNEL
+    (fused_pattern) rather than falling back to xla — outputs must still
+    equal the xla bias path exactly."""
     cfg_x = stream_cfg(attn_impl="xla")
     model, params, feats, lens = make_model(cfg_x)
     ref, _ = model.apply(params, feats, lens, method="encode")

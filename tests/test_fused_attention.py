@@ -409,8 +409,11 @@ def test_encoder_layer_fused_banded_matches_xla():
     g_f = jax.grad(loss(enc_f))(params)
     flat_x = jax.tree_util.tree_leaves(g_x)
     flat_f = jax.tree_util.tree_leaves(g_f)
+    # normalize by a GLOBAL scale: per-leaf scaling explodes on leaves
+    # whose true gradient is identically zero (k-proj bias — softmax is
+    # shift-invariant in the keys), where both sides are ~1e-6 noise
+    gscale = max(np.abs(np.asarray(b)).max() for b in flat_x) + 1e-6
     for a, b in zip(flat_x, flat_f):
-        sc = np.abs(np.asarray(b)).max() + 1e-6
         np.testing.assert_allclose(
-            np.asarray(a) / sc, np.asarray(b) / sc, atol=5e-4
+            np.asarray(a) / gscale, np.asarray(b) / gscale, atol=5e-4
         )

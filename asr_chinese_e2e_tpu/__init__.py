@@ -32,7 +32,14 @@ if _os.environ.get("ASR_COMPILE_CACHE", "1") != "0":
     # fast anyway. Callers forcing CPU do so via jax.config before
     # importing this package (CLAUDE.md environment note), so the
     # platform setting is readable here without initializing a backend.
-    if "cpu" not in str(_jax.config.jax_platforms or ""):
+    # The cache only turns on when a platform is EXPLICITLY configured to
+    # something non-CPU (r4 ADVICE #3: with the platform unset, the backend
+    # may still resolve to CPU and host-feature-pinned AOT entries would
+    # land in the shared cache dir).
+    _plat = str(
+        _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "") or ""
+    )
+    if _plat and "cpu" not in _plat:
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get("ASR_COMPILE_CACHE_DIR", "/tmp/asr_jit_cache"),

@@ -38,6 +38,61 @@ def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
+def scaled_init(scale: float):
+    """Xavier-normal init scaled by ``scale`` — DeepNorm's beta init
+    (DeepNet Eq. 14: FFN / value / output projections initialized with
+    gain beta < 1 so early residual updates stay small in post-LN
+    stacks)."""
+    base = nn.initializers.xavier_normal()
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
+class ConfigurableDropout(nn.Module):
+    """Dropout with a selectable mask generator.
+
+    ``impl='rng'``: flax nn.Dropout (threefry/rbg bit stream — the
+    reference-faithful default). ``impl='hash'``: an index-keyed murmur
+    hash of (flat element index, per-call seed) — the same construction
+    as the fused attention kernel's in-kernel weight dropout
+    (ops/fused_attention._keep_mask). The hash mask is pure elementwise
+    math over an iota, so XLA fuses it into the producer/consumer ops:
+    no rng-bit tensor is materialized to HBM and the bwd pass can
+    rematerialize the mask instead of saving it (the r4 trace priced
+    output/FFN mask gen+apply at 0.95 ms/step of the flagship's 34.5 —
+    round-4 VERDICT #5)."""
+
+    rate: float
+    impl: str = "rng"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        if self.impl != "hash":
+            return nn.Dropout(self.rate, name="drop")(
+                x, deterministic=deterministic
+            )
+        if deterministic or self.rate == 0.0:
+            return x
+        seed = jax.random.randint(
+            self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        i = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
+        h = i * jnp.uint32(0x9E3779B9) ^ (seed * jnp.uint32(0xC2B2AE35))
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        threshold = jnp.uint32(min(int(self.rate * (1 << 32)), (1 << 32) - 1))
+        keep = (h >= threshold).astype(x.dtype) / np.asarray(
+            1.0 - self.rate, x.dtype
+        )
+        return x * keep
+
+
 class PositionalEncoding(nn.Module):
     d_model: int
     max_len: int = 5000
@@ -65,18 +120,33 @@ class MultiHeadAttention(nn.Module):
     # attention.py:17). False drops only the output — saves generating
     # and storing (B, H, Tq, Tk) masks every step.
     weight_dropout: bool = True
+    # DeepNorm beta: scales the v/out projection INIT down (DeepNet,
+    # Wang et al. 2022) — the residual-stabilizing half of the post-LN
+    # ``deepnorm`` knob (SubLayer.alpha is the other half). 1.0 = stock.
+    init_scale: float = 1.0
+    dropout_impl: str = "rng"  # see ConfigurableDropout
 
     def setup(self):
         h, dk = self.num_heads, self.head_dim
-        dg = lambda name: nn.DenseGeneral(
-            features=(h, dk), axis=-1, name=name, dtype=self.dtype
+        dg = lambda name, init=None: nn.DenseGeneral(
+            features=(h, dk), axis=-1, name=name, dtype=self.dtype,
+            **({"kernel_init": init} if init is not None else {}),
         )
-        self.q_proj, self.k_proj, self.v_proj = dg("q"), dg("k"), dg("v")
+        vo_init = (
+            scaled_init(self.init_scale) if self.init_scale != 1.0 else None
+        )
+        self.q_proj, self.k_proj = dg("q"), dg("k")
+        self.v_proj = dg("v", vo_init)
         self.out_proj = nn.DenseGeneral(
-            features=self.d_model, axis=(-2, -1), name="out", dtype=self.dtype
+            features=self.d_model, axis=(-2, -1), name="out", dtype=self.dtype,
+            **({"kernel_init": vo_init} if vo_init is not None else {}),
         )
-        self.attn_drop = nn.Dropout(self.dropout_rate)
-        self.out_drop = nn.Dropout(self.dropout_rate)
+        self.attn_drop = ConfigurableDropout(
+            self.dropout_rate, self.dropout_impl, name="attn_drop"
+        )
+        self.out_drop = ConfigurableDropout(
+            self.dropout_rate, self.dropout_impl, name="out_drop"
+        )
 
     def kv(self, kv_in: jnp.ndarray):
         """Project keys/values once (used to precompute cross-attn caches)."""
@@ -405,13 +475,22 @@ class PositionwiseFFN(nn.Module):
     d_ff: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    init_scale: float = 1.0  # DeepNorm beta on w1/w2 init (see MHA)
+    dropout_impl: str = "rng"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        y = nn.Dense(self.d_ff, dtype=self.dtype, name="w1")(x)
+        kw = (
+            {"kernel_init": scaled_init(self.init_scale)}
+            if self.init_scale != 1.0
+            else {}
+        )
+        y = nn.Dense(self.d_ff, dtype=self.dtype, name="w1", **kw)(x)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(y)
-        return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="w2", **kw)(y)
+        return ConfigurableDropout(
+            self.dropout_rate, self.dropout_impl, name="drop"
+        )(y, deterministic=deterministic)
 
 
 class SubLayer(nn.Module):
@@ -420,10 +499,16 @@ class SubLayer(nn.Module):
     ``post`` reproduces the reference (LN after residual add,
     ``attention.py:84``, ``module.py:33``); ``pre`` is the stability-
     friendly variant for deep stacks. ``has_aux`` supports wrapped
-    functions that thread a cache through."""
+    functions that thread a cache through.
+
+    ``alpha`` up-weights the residual branch in POST mode —
+    ``norm(alpha·x + f(x))`` — the DeepNorm residual scaling (DeepNet,
+    Wang et al. 2022) that stabilizes post-LN stacks at depth; 1.0 is
+    the plain reference placement. Ignored in pre mode."""
 
     norm_type: str
     dtype: Any
+    alpha: float = 1.0
 
     def setup(self):
         # name pinned to the @nn.compact auto-name this module originally
@@ -439,10 +524,11 @@ class SubLayer(nn.Module):
                 y, aux = fn(norm(x))
                 return x + y, aux
             return x + fn(norm(x))
+        a = self.alpha
         if has_aux:
             y, aux = fn(x)
-            return norm(x + y), aux
-        return norm(x + fn(x))
+            return norm(a * x + y), aux
+        return norm(a * x + fn(x))
 
 
 class ConvModule(nn.Module):
@@ -464,28 +550,44 @@ class ConvModule(nn.Module):
     kernel_size: int = 15
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    # causal=True pads the depthwise conv LEFT-only (k-1 zeros), so output
+    # frame t depends on inputs [t-k+1, t] — required when the block runs
+    # under causal_encoder (a centered SAME kernel would leak future
+    # frames past the causal attention mask) and for the streaming
+    # conv-carry in ConformerBlock.chunk_step
+    causal: bool = False
+    dropout_impl: str = "rng"
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        lengths: "jnp.ndarray | None",
+        deterministic: bool = True,
+        frame_mask: "jnp.ndarray | None" = None,
     ) -> jnp.ndarray:
         t = x.shape[1]
-        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+        if frame_mask is None and lengths is not None:
+            frame_mask = jnp.arange(t)[None, :] < lengths[:, None]
         y = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
         y = nn.glu(y, axis=-1)
-        y = y * mask[..., None]  # zero pads so the conv window reads zeros
+        if frame_mask is not None:
+            # zero pads so the conv window reads zeros
+            y = y * frame_mask.astype(x.dtype)[..., None]
         y = nn.Conv(
             self.d_model,
             (self.kernel_size,),
             feature_group_count=self.d_model,
-            padding="SAME",
+            padding=[(self.kernel_size - 1, 0)] if self.causal else "SAME",
             dtype=self.dtype,
             name="dw",
         )(y)
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.swish(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(y)
-        return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return ConfigurableDropout(
+            self.dropout_rate, self.dropout_impl, name="drop"
+        )(y, deterministic=deterministic)
 
 
 class ConvSubsampler(nn.Module):

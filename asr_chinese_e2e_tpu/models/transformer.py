@@ -35,6 +35,7 @@ from ..core.config import Config
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
 from ..ops.masks import NEG_INF, causal_padding_bias, padding_bias
 from .layers import (
+    ConfigurableDropout,
     ConvModule,
     ConvSubsampler,
     MultiHeadAttention,
@@ -73,11 +74,37 @@ def default_config() -> Config:
         decoder_attn_impl="xla",  # decoder self+cross: "xla" | "fused" —
         # xla measured faster at AISHELL target lengths (see DecoderLayer)
         attn_weight_dropout=True,  # reference parity; False saves big masks
+        dropout_impl="rng",  # "rng" (flax nn.Dropout, rbg/threefry bits)
+        # | "hash" (index-keyed hash mask, fuses into producers — no rng
+        # tensor in HBM; see layers.ConfigurableDropout, VERDICT r4 #5)
+        deepnorm=False,  # DeepNet post-LN stabilizer: residual
+        # up-scaling alpha + v/out/FFN init down-scaling beta — the
+        # round-4 VERDICT #1 stabilizer knob for post-LN at depth (no-op
+        # under norm_type='pre')
         ctc_weight=0.0,  # 0 == reference's pure-CE objective
         label_smoothing=0.0,  # invoked at 0.0 in the reference
         max_target_len=128,
         dtype="float32",
     )
+
+
+def deepnorm_coeffs(cfg):
+    """DeepNorm (alpha, beta) for the encoder and decoder stacks (DeepNet,
+    Wang et al. 2022, Fig. 2 encoder-decoder prescription): residual
+    branches are up-weighted by alpha inside post-LN (SubLayer.alpha) and
+    FFN/value/output-projection inits scaled down by beta (scaled_init).
+    Returns ((enc_alpha, enc_beta), (dec_alpha, dec_beta)); all 1.0 when
+    the ``deepnorm`` knob is off or the placement is pre-LN (DeepNorm is a
+    post-LN construction)."""
+    if not cfg.get("deepnorm", False) or cfg.get("norm_type", "post") != "post":
+        return (1.0, 1.0), (1.0, 1.0)
+    n = cfg.num_encoder_layers
+    m = cfg.get("num_decoder_layers", 0)
+    if m == 0:  # encoder-only prescription
+        return ((2.0 * n) ** 0.25, (8.0 * n) ** -0.25), (1.0, 1.0)
+    enc = (0.81 * (n**4 * m) ** (1.0 / 16), 0.87 * (n**4 * m) ** (-1.0 / 16))
+    dec = ((3.0 * m) ** 0.25, (12.0 * m) ** -0.25)
+    return enc, dec
 
 
 def _encoder_self_attention(cfg, attn, x, bias, deterministic, lengths):
@@ -112,13 +139,19 @@ class EncoderLayer(nn.Module):
 
     def setup(self):
         c = self.cfg
+        (alpha, beta), _ = deepnorm_coeffs(c)
+        di = c.get("dropout_impl", "rng")
         self.attn = MultiHeadAttention(
             c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
             weight_dropout=c.get("attn_weight_dropout", True),
+            init_scale=beta, dropout_impl=di,
         )
-        self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
-        self.sub1 = SubLayer(c.norm_type, self.dtype)
-        self.sub2 = SubLayer(c.norm_type, self.dtype)
+        self.ffn = PositionwiseFFN(
+            c.d_model, c.d_ff, c.dropout_rate, self.dtype, init_scale=beta,
+            dropout_impl=di,
+        )
+        self.sub1 = SubLayer(c.norm_type, self.dtype, alpha=alpha)
+        self.sub2 = SubLayer(c.norm_type, self.dtype, alpha=alpha)
 
     def __call__(self, x, bias, deterministic=True, lengths=None):
         x = self.sub1(
@@ -145,8 +178,9 @@ class EncoderLayer(nn.Module):
             x = x + self.ffn(self.sub2.norm(x), True)
         else:
             kv = jnp.concatenate([tail, x], axis=1)
-            x = self.sub1.norm(x + self.attn(x, kv, bias, True))
-            x = self.sub2.norm(x + self.ffn(x, True))
+            a1, a2 = self.sub1.alpha, self.sub2.alpha
+            x = self.sub1.norm(a1 * x + self.attn(x, kv, bias, True))
+            x = self.sub2.norm(a2 * x + self.ffn(x, True))
         return x
 
 
@@ -167,14 +201,23 @@ class ConformerBlock(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.ffn1 = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
-        self.ffn2 = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
+        di = c.get("dropout_impl", "rng")
+        self.ffn1 = PositionwiseFFN(
+            c.d_model, c.d_ff, c.dropout_rate, self.dtype, dropout_impl=di
+        )
+        self.ffn2 = PositionwiseFFN(
+            c.d_model, c.d_ff, c.dropout_rate, self.dtype, dropout_impl=di
+        )
         self.attn = MultiHeadAttention(
             c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
-            weight_dropout=c.get("attn_weight_dropout", True),
+            weight_dropout=c.get("attn_weight_dropout", True), dropout_impl=di,
         )
         self.conv = ConvModule(
-            c.d_model, c.get("conv_kernel_size", 15), c.dropout_rate, self.dtype
+            c.d_model, c.get("conv_kernel_size", 15), c.dropout_rate, self.dtype,
+            # under causal_encoder the depthwise conv must not read future
+            # frames (a centered SAME kernel would silently leak them past
+            # the causal attention bias — r4 ADVICE #2)
+            causal=c.get("causal_encoder", False), dropout_impl=di,
         )
         self.ln_ffn1 = nn.LayerNorm(dtype=self.dtype)
         self.ln_attn = nn.LayerNorm(dtype=self.dtype)
@@ -192,6 +235,61 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * self.ffn2(self.ln_ffn2(x), deterministic)
         return self.ln_final(x)
 
+    def chunk_step(self, x, tail, conv_carry, bias, carry_mask):
+        """Incremental encode step for the streaming conformer (round-4
+        VERDICT #6). Exact chunked evaluation needs TWO carries per layer:
+
+        - ``tail`` (B, w, D): previous ``w`` frames of the BLOCK INPUT (the
+          attention receptive field at band w). Their post-ffn1 values are
+          recomputed here — ffn1 is pointwise per frame, so this is exact.
+        - ``conv_carry`` (B, k-1, D): previous k-1 frames of the conv-module
+          input (post-attention residual stream). The causal depthwise conv
+          at new frame t reads [t-k+1, t]; pw1/GLU are pointwise, so
+          recomputing them on the carried frames is exact.
+
+        ``carry_mask`` (1, k-1): 1.0 where the carry row's GLOBAL frame
+        index is >= 0 — at stream start the offline causal conv reads its
+        zero LEFT padding in GLU space, so the zero-initialised carry
+        (which is zero in residual-stream space, NOT GLU space) must be
+        masked after pw1/GLU. Returns (out (B, F, D), new_conv_carry)."""
+        kc = conv_carry.shape[1]
+        tail1 = tail + 0.5 * self.ffn1(self.ln_ffn1(tail), True)
+        x1 = x + 0.5 * self.ffn1(self.ln_ffn1(x), True)
+        kv = jnp.concatenate([self.ln_attn(tail1), self.ln_attn(x1)], axis=1)
+        x2 = x1 + self.attn(self.ln_attn(x1), kv, bias, True)
+        conv_in = jnp.concatenate([conv_carry, x2], axis=1)
+        fmask = jnp.concatenate(
+            [
+                jnp.broadcast_to(carry_mask, (x.shape[0], kc)),
+                jnp.ones((x.shape[0], x.shape[1]), carry_mask.dtype),
+            ],
+            axis=1,
+        )
+        y = self.conv(self.ln_conv(conv_in), None, True, frame_mask=fmask)
+        x3 = x2 + y[:, kc:]
+        x4 = x3 + 0.5 * self.ffn2(self.ln_ffn2(x3), True)
+        return self.ln_final(x4), conv_in[:, -kc:]
+
+
+def init_chunk_state(cfg, batch: int):
+    """Zero left-context carries for ``Encoder.encode_chunk``, one pytree
+    per layer. Plain transformer: a (B, band, d) input tail (zeros are
+    never attended — encode_chunk masks keys with negative global index).
+    Conformer: additionally a (B, k-1, d) causal-conv input carry (zero
+    rows are masked post-GLU to match the offline conv's zero padding).
+    Module-free so host code (stream.py) can build state without a flax
+    apply."""
+    w = cfg.attention_band
+    dt = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+    tail = lambda: jnp.zeros((batch, w, cfg.d_model), dt)
+    if cfg.get("encoder_type", "transformer") == "conformer":
+        kc = cfg.get("conv_kernel_size", 15) - 1
+        return [
+            {"tail": tail(), "conv": jnp.zeros((batch, kc, cfg.d_model), dt)}
+            for _ in range(cfg.num_encoder_layers)
+        ]
+    return [tail() for _ in range(cfg.num_encoder_layers)]
+
 
 class Encoder(nn.Module):
     cfg: Config
@@ -205,7 +303,9 @@ class Encoder(nn.Module):
             self.input_proj = nn.Dense(c.d_model, dtype=self.dtype)
             self.input_norm = nn.LayerNorm(dtype=self.dtype)
         self.pe = PositionalEncoding(c.d_model)
-        self.dropout = nn.Dropout(c.dropout_rate)
+        self.dropout = ConfigurableDropout(
+            c.dropout_rate, c.get("dropout_impl", "rng")
+        )
         layer_cls = (
             ConformerBlock
             if c.get("encoder_type", "transformer") == "conformer"
@@ -259,16 +359,8 @@ class Encoder(nn.Module):
 
     # -- streaming: exact chunked incremental encoding ----------------------
     def init_chunk_tails(self, batch: int):
-        """Zero left-context carries, one (B, band, d_model) per layer.
-        Zeros are never attended: ``encode_chunk`` masks keys whose global
-        frame index is negative."""
-        c = self.cfg
-        w = c.attention_band
-        dt = self.dtype
-        return [
-            jnp.zeros((batch, w, c.d_model), dt)
-            for _ in range(c.num_encoder_layers)
-        ]
+        """Zero left-context carries (see ``init_chunk_state``)."""
+        return init_chunk_state(self.cfg, batch)
 
     def encode_chunk(self, feats_chunk, tails, offset):
         """Encode F new frames given per-layer left-context carries — EXACT
@@ -277,27 +369,26 @@ class Encoder(nn.Module):
         tests/test_streaming_encoder.py).
 
         Requires ``causal_encoder=True`` + ``attention_band`` w > 0 (the
-        causal receptive field of one layer is then w frames, so a (B, w,
-        d) input tail per layer is sufficient state), the linear frontend
-        and the plain transformer stack (conformer's depthwise conv would
-        need its own carry).
+        causal attention receptive field of one layer is then w frames, so
+        a (B, w, d) input tail per layer is sufficient attention state)
+        and the linear frontend. Both encoder families stream: the plain
+        transformer carries one input tail per layer; the conformer
+        additionally carries k-1 frames of causal-depthwise-conv input
+        (``ConformerBlock.chunk_step`` — round-4 VERDICT #6).
 
-        feats_chunk: (B, F, input_dim); tails: list of (B, w, d_model), the
-        previous w frames of each layer's INPUT (init_chunk_tails at
-        stream start); offset: int32 global frame index of the chunk's
-        first frame (traced — one compiled program serves every chunk).
-        Returns (enc_chunk (B, F, d), new_tails). All F frames are treated
-        as real: feed only full chunks mid-stream and pad the final flush
-        chunk, ignoring outputs past its valid count (causality keeps
-        padded FUTURE frames out of every valid row)."""
+        feats_chunk: (B, F, input_dim); tails: per-layer carry pytree from
+        ``init_chunk_tails``; offset: int32 global frame index of the
+        chunk's first frame (traced — one compiled program serves every
+        chunk). Returns (enc_chunk (B, F, d), new_tails). All F frames are
+        treated as real: feed only full chunks mid-stream and pad the
+        final flush chunk, ignoring outputs past its valid count
+        (causality keeps padded FUTURE frames out of every valid row)."""
         c = self.cfg
         assert c.get("causal_encoder", False) and c.get("attention_band", 0), (
             "encode_chunk requires causal_encoder=True and attention_band>0"
         )
         assert c.frontend == "linear", "encode_chunk: linear frontend only"
-        assert c.get("encoder_type", "transformer") == "transformer", (
-            "encode_chunk: transformer encoder only"
-        )
+        conformer = c.get("encoder_type", "transformer") == "conformer"
         w = c.attention_band
         x = self.input_norm(self.input_proj(feats_chunk.astype(self.dtype)))
         f = x.shape[1]
@@ -313,10 +404,25 @@ class Encoder(nn.Module):
         gk = offset - w + kj
         allow = (rel >= 0) & (rel <= w) & (gk >= 0)
         bias = jnp.where(allow, 0.0, NEG_INF)[None, None]
+        if conformer:
+            kc = c.get("conv_kernel_size", 15) - 1
+            # conv-carry row r holds global frame offset-kc+r; rows with a
+            # negative global index stand in for the conv's zero left
+            # padding (masked post-GLU in chunk_step)
+            carry_mask = ((offset - kc + jnp.arange(kc)) >= 0).astype(
+                self.dtype
+            )[None]
         new_tails = []
-        for layer, tail in zip(self.layers, tails):
-            new_tails.append(jnp.concatenate([tail, x], axis=1)[:, -w:])
-            x = layer.chunk_step(x, tail, bias)
+        for layer, st in zip(self.layers, tails):
+            if conformer:
+                new_tail = jnp.concatenate([st["tail"], x], axis=1)[:, -w:]
+                x, new_conv = layer.chunk_step(
+                    x, st["tail"], st["conv"], bias, carry_mask
+                )
+                new_tails.append({"tail": new_tail, "conv": new_conv})
+            else:
+                new_tails.append(jnp.concatenate([st, x], axis=1)[:, -w:])
+                x = layer.chunk_step(x, st, bias)
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x, new_tails
@@ -329,18 +435,23 @@ class DecoderLayer(nn.Module):
     def setup(self):
         c = self.cfg
         wd = c.get("attn_weight_dropout", True)
+        _, (alpha, beta) = deepnorm_coeffs(c)
+        di = c.get("dropout_impl", "rng")
         self.self_attn = MultiHeadAttention(
             c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
-            weight_dropout=wd,
+            weight_dropout=wd, init_scale=beta, dropout_impl=di,
         )
         self.cross_attn = MultiHeadAttention(
             c.num_heads, c.d_model, c.head_dim, c.dropout_rate, self.dtype,
-            weight_dropout=wd,
+            weight_dropout=wd, init_scale=beta, dropout_impl=di,
         )
-        self.ffn = PositionwiseFFN(c.d_model, c.d_ff, c.dropout_rate, self.dtype)
-        self.sub1 = SubLayer(c.norm_type, self.dtype)
-        self.sub2 = SubLayer(c.norm_type, self.dtype)
-        self.sub3 = SubLayer(c.norm_type, self.dtype)
+        self.ffn = PositionwiseFFN(
+            c.d_model, c.d_ff, c.dropout_rate, self.dtype, init_scale=beta,
+            dropout_impl=di,
+        )
+        self.sub1 = SubLayer(c.norm_type, self.dtype, alpha=alpha)
+        self.sub2 = SubLayer(c.norm_type, self.dtype, alpha=alpha)
+        self.sub3 = SubLayer(c.norm_type, self.dtype, alpha=alpha)
 
     def __call__(
         self,
@@ -419,7 +530,9 @@ class Decoder(nn.Module):
         c = self.cfg
         self.embed = nn.Embed(self.vocab_size, c.d_model, dtype=self.dtype)
         self.pe = PositionalEncoding(c.d_model)
-        self.dropout = nn.Dropout(c.dropout_rate)
+        self.dropout = ConfigurableDropout(
+            c.dropout_rate, c.get("dropout_impl", "rng")
+        )
         layer_cls = DecoderLayer
         if c.get("remat", False):
             layer_cls = nn.remat(DecoderLayer, static_argnums=(5,))

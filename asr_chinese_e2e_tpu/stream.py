@@ -202,12 +202,19 @@ class StreamingRecognizer:
         self._encode_fns: dict = {}
         self.chunk_frames = chunk_frames
         cfg = getattr(model, "cfg", None)
+        if incremental not in ("auto", "on", "off"):
+            raise ValueError(
+                f"incremental must be 'auto', 'on' or 'off', got {incremental!r}"
+            )
         can_inc = (
             cfg is not None
             and cfg.get("causal_encoder", False)
             and cfg.get("attention_band", 0) > 0
             and cfg.get("frontend", "linear") == "linear"
-            and cfg.get("encoder_type", "transformer") == "transformer"
+            # both encoder families stream: conformer carries its causal
+            # depthwise-conv state (ConformerBlock.chunk_step)
+            and cfg.get("encoder_type", "transformer")
+            in ("transformer", "conformer")
             and cfg.get("ctc_weight", 0.0) > 0.0
             and feat_cfg.cmvn_mode == "fixed"
             and not feat_cfg.use_delta
@@ -216,8 +223,9 @@ class StreamingRecognizer:
         if incremental == "on" and not can_inc:
             raise ValueError(
                 "incremental streaming requires causal_encoder=True, "
-                "attention_band>0, a CTC head, the linear-frontend "
-                "transformer encoder, cmvn_mode='fixed' and no Δ features"
+                "attention_band>0, a CTC head, a linear-frontend "
+                "transformer/conformer encoder, cmvn_mode='fixed' and no "
+                "Δ features"
             )
         self.incremental = can_inc if incremental == "auto" else incremental == "on"
         self._chunk_prog = None
@@ -307,14 +315,11 @@ class StreamingRecognizer:
         return self._chunk_prog
 
     def _inc_reset(self, start: int) -> None:
-        cfg = self.model.cfg
-        dt = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        from .models.transformer import init_chunk_state
+
         self._inc_start = start
         self._inc_lfr_done = 0
-        self._inc_tails = [
-            jnp.zeros((1, cfg.attention_band, cfg.d_model), dt)
-            for _ in range(cfg.num_encoder_layers)
-        ]
+        self._inc_tails = init_chunk_state(self.model.cfg, 1)
         self._inc_enc, self._inc_lp, self._inc_ids = [], [], []
 
     def _inc_advance(self, start: int, prefix: np.ndarray, final: bool) -> None:
@@ -338,7 +343,16 @@ class StreamingRecognizer:
         if len(prefix) <= pad:
             return
         if final:
-            padded = np.pad(prefix, (pad, pad), mode="reflect")
+            # match the OFFLINE featurization exactly (r4 ADVICE #1): the
+            # non-incremental path zero-pads the segment to its duration
+            # bucket and reflect-pads THAT wave (features.frame_signal), so
+            # tail analysis windows read bucket zeros — reflect-padding the
+            # true segment end differed in the last ~2 LFR frames whenever
+            # a segment ends mid-speech (e.g. cut by max_segment_samples)
+            bucket = self._bucket_of(len(prefix))
+            bwave = np.zeros((bucket,), prefix.dtype)
+            bwave[: len(prefix)] = prefix
+            padded = np.pad(bwave, (pad, pad), mode="reflect")
             total_base = len(prefix) // hop + 1  # center=True frame count
             target_lfr = -(-total_base // n)
         else:

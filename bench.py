@@ -227,6 +227,9 @@ def main(
     # library default so CPU tests skip the interpreter)
     steps_per_dispatch: int = 1,  # k train steps per jitted dispatch
     # (train_step.make_multi_step) — amortizes remote-dispatch latency
+    n_chips: int = 0,  # 0 = all visible devices; k = first k devices (the
+    # scaling-sweep knob — see scaling_main)
+    _return_result: bool = False,
     **model_overrides,
 ):
     import jax
@@ -242,8 +245,9 @@ def main(
     )
     from asr_chinese_e2e_tpu.train.train_step import make_step_fns
 
-    n_chips = len(jax.devices())
-    log(f"devices: {jax.devices()}")
+    bench_devices = jax.devices()[: n_chips or None]
+    n_chips = len(bench_devices)
+    log(f"devices ({n_chips}): {bench_devices}")
 
     feat_cfg = FeatureConfig(fbank_impl=fbank_impl)
     cfg = default_config().build(
@@ -274,7 +278,7 @@ def main(
             replicated,
         )
 
-        mesh = make_mesh(data=n_chips)
+        mesh = make_mesh(data=n_chips, devices=bench_devices)
         # custom kernels (fused attention) shard over the mesh via
         # shard_map; re-wrap the step so tracing sees the mesh context
         from asr_chinese_e2e_tpu.parallel.context import active_mesh
@@ -368,19 +372,69 @@ def main(
         f"{flops / 1e12:.2f} TFLOP/step, MFU {mfu:.1%})"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_throughput_audio_seconds_per_sec_per_chip",
-                "value": round(audio_s_per_s_per_chip, 2),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": None,
-                "steps_per_s": round(steps_per_s, 3),
-                "flops_per_step": flops,
-                "mfu": round(mfu, 4),
-            }
+    result = {
+        "metric": "train_throughput_audio_seconds_per_sec_per_chip",
+        "value": round(audio_s_per_s_per_chip, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": None,
+        "steps_per_s": round(steps_per_s, 3),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4),
+        "n_chips": n_chips,
+    }
+    if _return_result:
+        return result
+    print(json.dumps(result))
+
+
+def scaling_main(
+    per_chip_batch: int = 64,
+    chip_counts: str = "",
+    n_steps: int = 20,
+    **kw,
+):
+    """WEAK-scaling measurement (round-4 VERDICT #8): fixed per-chip batch,
+    global batch = n × per_chip_batch, DP mesh over the first n devices.
+    Reports audio-s/s/chip at each chip count and efficiency relative to
+    the 1-chip run — the BASELINE.json ≥90%-at-16-chips target's harness,
+    ready for the day multi-chip hardware exists.
+
+        python bench.py --scaling true --per_chip_batch 64        # real pod
+        JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+            python bench.py --scaling true --per_chip_batch 2 \
+            --seconds 1 --d_model 64 ...                          # smoke
+
+    ``chip_counts``: comma list (default: powers of two up to the device
+    count). Smoke-tested on the virtual CPU mesh in
+    tests/test_scaling_harness.py so the harness itself is known-good."""
+    import jax
+
+    n_dev = len(jax.devices())
+    counts = [int(c) for c in str(chip_counts).split(",") if c] or [
+        c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_dev
+    ]
+    rows = []
+    for n in counts:
+        r = main(
+            batch=per_chip_batch * n, n_chips=n, n_steps=n_steps,
+            _return_result=True, **kw,
         )
-    )
+        rows.append({"n_chips": n, "audio_s_per_s_per_chip": r["value"],
+                     "steps_per_s": r["steps_per_s"], "mfu": r["mfu"]})
+        log(f"scaling: {n} chips -> {r['value']} audio-s/s/chip")
+    base = rows[0]["audio_s_per_s_per_chip"]
+    for r in rows:
+        r["efficiency"] = round(r["audio_s_per_s_per_chip"] / base, 4)
+    result = {
+        "metric": "dp_weak_scaling_efficiency",
+        "value": rows[-1]["efficiency"],
+        "unit": f"per-chip efficiency at {rows[-1]['n_chips']} chips vs 1",
+        "vs_baseline": None,
+        "per_chip_batch": per_chip_batch,
+        "table": rows,
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
@@ -389,5 +443,7 @@ if __name__ == "__main__":
     _, kwargs = parse_kwargs(sys.argv[1:])
     if kwargs.pop("via_trainer", False):
         via_trainer_main(**kwargs)
+    elif kwargs.pop("scaling", False):
+        scaling_main(**kwargs)
     else:
         main(**kwargs)

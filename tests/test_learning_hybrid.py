@@ -93,3 +93,50 @@ def test_hybrid_learns_and_beam_decodes(tmp_path):
     # one-pass joint decoding on learned weights must be at least as good
     # as the pure attention beam on this easy corpus
     assert cer_j <= cer_b + 1e-6 or cer_j < 15.0, f"joint CER {cer_j} vs beam {cer_b}"
+
+
+def test_deepnorm_postln_learns(tmp_path):
+    """The DeepNorm stabilizer knob (r4 VERDICT #1) must not break
+    learning: a post-LN + deepnorm tiny hybrid model converges through
+    the full stack (the flagship-scale evidence lives in the r5 post-LN
+    sweep, BENCH_NOTES)."""
+    mpath, vocab = make_corpus(tmp_path, n=48, seed=2)
+    feat_cfg = FeatureConfig(n_mels=40)
+    mcfg = default_config().build(
+        d_model=64, num_heads=2, head_dim=32, d_ff=128,
+        num_encoder_layers=2, num_decoder_layers=2,
+        input_dim=feat_cfg.feature_dim, dropout_rate=0.0,
+        ctc_weight=0.3, norm_type="post", deepnorm=True,
+    )
+    tcfg = default_train_config().combine(mcfg).build(
+        lr_schedule="constant", lr=1e-3, rng_impl="threefry2x32",
+    )
+    model = SpeechTransformer(mcfg, vocab.vocab_size)
+    tx = make_optimizer(tcfg, mcfg.d_model)
+    init_fn, train_step, _ = make_step_fns(model, tx, feat_cfg, tcfg)
+    loader = BucketedLoader(
+        mpath, vocab, batch_size=16, max_target_len=8, seed=0,
+        bucket_seconds=(1.5,), prefetch=0,
+    )
+    first = next(iter(loader.epoch(0)))
+    state = init_fn(
+        jax.random.PRNGKey(0),
+        {"wave": first.wave, "wave_lengths": first.wave_lengths,
+         "labels": first.labels, "label_lengths": first.label_lengths},
+    )
+    rng = jax.random.key(0, impl="threefry2x32")
+    first_loss, loss = None, None
+    for epoch in range(80):
+        for b in loader.epoch(epoch):
+            state, m = train_step(
+                state,
+                jnp.asarray(b.wave), jnp.asarray(b.wave_lengths),
+                jnp.asarray(b.labels), jnp.asarray(b.label_lengths),
+                rng,
+            )
+        loss = float(m["loss"])
+        if first_loss is None:
+            first_loss = loss
+        if loss < 0.1:
+            break
+    assert loss < min(1.0, first_loss / 3), (first_loss, loss)

@@ -120,7 +120,9 @@ def stream_recognizer_parts():
 
 def test_incremental_pipeline_matches_offline(stream_recognizer_parts):
     """Accumulated chunked (featurize+encode+CTC) == offline parse_batch +
-    full encode, down to the LFR tail clipping and end reflect-padding."""
+    full encode of the BUCKETED wave (the serving path's featurization —
+    segments are zero-padded to their duration bucket before framing),
+    down to the LFR tail clipping."""
     from asr_chinese_e2e_tpu.data.features import parse_batch
     from asr_chinese_e2e_tpu.stream import StreamingRecognizer
 
@@ -139,7 +141,8 @@ def test_incremental_pipeline_matches_offline(stream_recognizer_parts):
     enc_inc = np.concatenate(rec._inc_enc, axis=0)
     lp_inc = np.concatenate(rec._inc_lp, axis=0)
 
-    wave = (seg.astype(np.float32) / 32768.0)[None]
+    wave = np.zeros((1, rec._bucket_of(len(seg))), np.float32)
+    wave[0, : len(seg)] = seg.astype(np.float32) / 32768.0
     feats, feat_lens = parse_batch(wave, np.asarray([len(seg)], np.int32), feat_cfg)
     enc_full, enc_lens = model.apply(params, feats, feat_lens, method="encode")
     lp_full = model.apply(params, enc_full, method="ctc_log_probs")
@@ -241,3 +244,109 @@ def test_auto_mode_selects_incremental_for_streaming_models(
         model, params, vocab, FeatureConfig(n_mels=20)
     )
     assert not offline.incremental  # per-utterance CMVN -> prefix path
+
+
+@pytest.mark.parametrize("chunk", [3, 7, 20])
+def test_chunked_matches_full_conformer(chunk):
+    """Round-4 VERDICT #6: the conformer streams too — the causal
+    depthwise conv carries k-1 frames of state next to the attention
+    tail, and chunked==full must hold exactly."""
+    cfg = stream_cfg(encoder_type="conformer", conv_kernel_size=5)
+    model, params, feats, lens = make_model(cfg)
+    full, _ = model.apply(params, feats, lens, method="encode")
+
+    t = feats.shape[1]
+    tails = model.apply(params, feats.shape[0], method="init_chunk_tails")
+    assert isinstance(tails[0], dict) and set(tails[0]) == {"tail", "conv"}
+    outs = []
+    for off in range(0, t, chunk):
+        piece = feats[:, off : off + chunk]
+        pad = chunk - piece.shape[1]
+        if pad:
+            piece = jnp.pad(piece, ((0, 0), (0, pad), (0, 0)))
+        enc, tails, lp = model.apply(
+            params, piece, tails, jnp.int32(off), method="encode_chunk"
+        )
+        outs.append(np.asarray(enc)[:, : chunk - pad])
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), rtol=2e-5, atol=2e-5)
+
+
+def test_causal_conformer_is_causal():
+    """r4 ADVICE #2: causal_encoder + conformer used to leak future frames
+    through the centered SAME depthwise conv; the conv is now left-padded
+    so past outputs must be invariant to future-frame perturbations."""
+    cfg = stream_cfg(encoder_type="conformer", conv_kernel_size=5)
+    model, params, feats, lens = make_model(cfg)
+    base, _ = model.apply(params, feats, lens, method="encode")
+    bumped = feats.at[:, 12:].add(3.0)
+    out, _ = model.apply(params, bumped, lens, method="encode")
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :12], np.asarray(base)[:, :12], rtol=1e-6, atol=1e-6
+    )
+    assert not np.allclose(np.asarray(out)[:, 12:], np.asarray(base)[:, 12:])
+
+
+def test_incremental_arg_validated(stream_recognizer_parts):
+    """r4 ADVICE #4: typo'd incremental values must raise, not silently
+    select the prefix re-encode path."""
+    from asr_chinese_e2e_tpu.stream import StreamingRecognizer
+
+    model, params, vocab, feat_cfg = stream_recognizer_parts
+    with pytest.raises(ValueError, match="incremental"):
+        StreamingRecognizer(
+            model, params, vocab, feat_cfg, incremental="On"
+        )
+
+
+def test_incremental_final_matches_offline_midspeech_cut(
+    stream_recognizer_parts,
+):
+    """r4 ADVICE #1: a segment that ends MID-SPEECH (no trailing silence —
+    the max_segment_samples cut case) must still featurize bit-comparably
+    to the offline bucketed wave on the final flush."""
+    from asr_chinese_e2e_tpu.data.features import parse_batch
+    from asr_chinese_e2e_tpu.stream import StreamingRecognizer
+
+    model, params, vocab, feat_cfg = stream_recognizer_parts
+    rec = StreamingRecognizer(
+        model, params, vocab, feat_cfg, incremental="on", chunk_frames=8,
+        bucket_seconds=(1.0, 2.0),
+    )
+    sr = feat_cfg.sample_rate
+    tt = np.arange(21700) / sr
+    seg = (np.sin(2 * np.pi * 523.0 * tt) * 12000).astype(np.int16)  # loud to the last sample
+    for i in range(4000, len(seg), 4000):
+        rec._inc_advance(0, seg[:i], final=False)
+    rec._inc_advance(0, seg, final=True)
+    enc_inc = np.concatenate(rec._inc_enc, axis=0)
+
+    wave = np.zeros((1, rec._bucket_of(len(seg))), np.float32)
+    wave[0, : len(seg)] = seg.astype(np.float32) / 32768.0
+    feats, feat_lens = parse_batch(
+        wave, np.asarray([len(seg)], np.int32), feat_cfg
+    )
+    enc_full, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    t = int(enc_lens[0])
+    assert enc_inc.shape[0] == t
+    np.testing.assert_allclose(
+        enc_inc, np.asarray(enc_full)[0, :t], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_chunked_matches_full_deepnorm():
+    """Streaming + post-LN + deepnorm: chunk_step must honor the DeepNorm
+    residual alpha or chunked and full passes diverge."""
+    cfg = stream_cfg(norm_type="post", deepnorm=True)
+    model, params, feats, lens = make_model(cfg)
+    full, _ = model.apply(params, feats, lens, method="encode")
+    tails = model.apply(params, feats.shape[0], method="init_chunk_tails")
+    outs = []
+    for off in range(0, feats.shape[1], 5):
+        enc, tails, _ = model.apply(
+            params, feats[:, off : off + 5], tails, jnp.int32(off),
+            method="encode_chunk",
+        )
+        outs.append(np.asarray(enc))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), rtol=2e-5, atol=2e-5)

@@ -182,3 +182,90 @@ def test_fused_impl_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
         )
+
+
+def test_deepnorm_knob():
+    """DeepNorm stabilizer (round-4 VERDICT #1): coeffs follow the DeepNet
+    encoder-decoder prescription, v/out/FFN inits are scaled down, and the
+    forward stays finite; pre-LN configs ignore the knob entirely."""
+    from asr_chinese_e2e_tpu.models.transformer import deepnorm_coeffs
+
+    cfg = tiny_cfg(norm_type="post", deepnorm=True)
+    (ea, eb), (da, db) = deepnorm_coeffs(cfg)
+    n, m = cfg.num_encoder_layers, cfg.num_decoder_layers
+    assert ea == pytest.approx(0.81 * (n**4 * m) ** (1 / 16))
+    assert da == pytest.approx((3 * m) ** 0.25)
+    assert eb < 1.0 < ea and db < 1.0 < da
+    # pre-LN: no-op
+    assert deepnorm_coeffs(tiny_cfg(norm_type="pre", deepnorm=True)) == (
+        (1.0, 1.0),
+        (1.0, 1.0),
+    )
+
+    model = SpeechTransformer(cfg, VOCAB)
+    feats, feat_lens, labels, label_lens = make_batch()
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+    out = model.apply(params, feats, feat_lens, labels, label_lens)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+    # beta actually shrinks the value-projection init vs the stock model
+    stock = SpeechTransformer(tiny_cfg(norm_type="post"), VOCAB)
+    sp = stock.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+    v_deep = np.asarray(
+        params["params"]["encoder"]["layer0"]["attn"]["v"]["kernel"]
+    )
+    v_stock = np.asarray(
+        sp["params"]["encoder"]["layer0"]["attn"]["v"]["kernel"]
+    )
+    assert v_deep.std() < 0.75 * v_stock.std()
+
+    # and the residual alpha changes the forward (vs deepnorm init alone)
+    plain = SpeechTransformer(tiny_cfg(norm_type="post"), VOCAB)
+    out2 = plain.apply(params, feats, feat_lens, labels, label_lens)
+    assert not np.allclose(
+        np.asarray(out["logits"]), np.asarray(out2["logits"])
+    )
+
+
+def test_hash_dropout():
+    """dropout_impl='hash' (VERDICT r4 #5): mask statistics ~ rate, scaling
+    by 1/keep, deterministic under a fixed rng, identity at eval."""
+    from asr_chinese_e2e_tpu.models.layers import ConfigurableDropout
+
+    x = jnp.ones((64, 128), jnp.float32)
+    drop = ConfigurableDropout(0.3, "hash")
+    v = drop.init({"dropout": jax.random.PRNGKey(0)}, x, False)
+    out = drop.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    arr = np.asarray(out)
+    kept = arr > 0
+    assert abs(kept.mean() - 0.7) < 0.03
+    np.testing.assert_allclose(arr[kept], 1.0 / 0.7, rtol=1e-6)
+    out2 = drop.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(arr, np.asarray(out2))
+    out3 = drop.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.array_equal(arr, np.asarray(out3))
+    np.testing.assert_array_equal(np.asarray(drop.apply(v, x, True)), np.asarray(x))
+
+
+def test_hash_dropout_model_trains_step():
+    """A full train step with dropout_impl='hash' stays finite and the
+    dropout actually perturbs the loss (mask active in training mode)."""
+    cfg = tiny_cfg(dropout_rate=0.2, dropout_impl="hash")
+    model = SpeechTransformer(cfg, VOCAB)
+    feats, feat_lens, labels, label_lens = make_batch()
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, labels, label_lens)
+
+    def loss_fn(p, rng):
+        out = model.apply(
+            p, feats, feat_lens, labels, label_lens, False,
+            rngs={"dropout": rng},
+        )
+        return (out["logits"] ** 2).mean()
+
+    l1 = float(loss_fn(params, jax.random.PRNGKey(1)))
+    l2 = float(loss_fn(params, jax.random.PRNGKey(2)))
+    assert np.isfinite(l1) and np.isfinite(l2) and l1 != l2
+    g = jax.grad(loss_fn)(params, jax.random.PRNGKey(1))
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g)
+    )

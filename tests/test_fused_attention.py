@@ -417,3 +417,60 @@ def test_encoder_layer_fused_banded_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a) / gscale, np.asarray(b) / gscale, atol=5e-4
         )
+
+
+def test_windowed_banded_matches_oracle_multiblock():
+    """The windowed causal-banded kernel (q-blocks over a 2-block key
+    window) must equal the bias-path oracle in logits AND grads at T
+    spanning several blocks, including ragged lengths."""
+    from asr_chinese_e2e_tpu.ops.fused_attention import (
+        _use_banded_window,
+        fused_attention_general,
+    )
+
+    band = 30
+    q, k, v = make(seed=21, T=150, D=8)
+    assert _use_banded_window(q, k, True, band)
+    lengths = jnp.asarray([150, 97], jnp.int32)
+    scale = 0.2
+
+    got = fused_attention_general(
+        q, k, v, lengths, lengths, 0, scale, 0.0, True, band
+    )
+    want = oracle_banded(q, k, v, lengths, scale, True, band)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    g_got = jax.grad(
+        lambda a, b, c: (
+            fused_attention_general(
+                a, b, c, lengths, lengths, 0, scale, 0.0, True, band
+            )
+            ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_want = jax.grad(
+        lambda a, b, c: (oracle_banded(a, b, c, lengths, scale, True, band) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_windowed_banded_dropout_matches_full_tile(monkeypatch):
+    """With dropout on, the windowed kernel must drop the SAME weights as
+    the full-tile kernel (the hash is keyed on GLOBAL indices), so the two
+    paths are numerically interchangeable mid-training."""
+    from asr_chinese_e2e_tpu.ops import fused_attention as fa
+
+    band = 20
+    q, k, v = make(seed=22, T=100, D=8)
+    lengths = jnp.asarray([100, 77], jnp.int32)
+    win = fa.fused_attention_general(
+        q, k, v, lengths, lengths, 5, 0.2, 0.15, True, band
+    )
+    monkeypatch.setenv("ASR_BANDED_WINDOW", "0")
+    full = fa.fused_attention_general(
+        q, k, v, lengths, lengths, 5, 0.2, 0.15, True, band
+    )
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=2e-5)

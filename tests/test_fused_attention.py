@@ -10,6 +10,12 @@ from asr_chinese_e2e_tpu.ops.fused_attention import fused_attention
 # dropout masks are an index-keyed hash (see ops/fused_attention._keep_mask)
 # so every path runs under the CPU interpreter as well as on hardware
 
+# On hardware, f32 matmuls round multiplicands to ~bf16 on the MXU, and the
+# kernel's backward computes ds in a different association order than the
+# oracle's autodiff — grads agree to ~1e-3 abs there, exactly on CPU
+# (scripts/tpu_kernel_checks.py runs this file on the real chip)
+GRAD_ATOL = 5e-3 if jax.default_backend() == "tpu" else 1e-4
+
 
 def oracle(q, k, v, lengths, scale):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -244,7 +250,7 @@ def test_causal_matches_oracle_fwd_bwd():
         argnums=(0, 1, 2),
     )(q, k, v)
     for a, b in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=GRAD_ATOL)
 
 
 def test_cross_rectangular_matches_oracle_fwd_bwd():
@@ -277,7 +283,7 @@ def test_cross_rectangular_matches_oracle_fwd_bwd():
         argnums=(0, 1, 2),
     )(q, k, v)
     for a, b_ in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=GRAD_ATOL)
 
 
 def test_causal_dropout_deterministic():
@@ -342,7 +348,7 @@ def test_banded_matches_bias_oracle_fwd_bwd(causal, band):
         argnums=(0, 1, 2),
     )(q, k, v)
     for a, b in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=GRAD_ATOL)
 
 
 def test_banded_xla_body_matches_kernel():
@@ -413,9 +419,11 @@ def test_encoder_layer_fused_banded_matches_xla():
     # whose true gradient is identically zero (k-proj bias — softmax is
     # shift-invariant in the keys), where both sides are ~1e-6 noise
     gscale = max(np.abs(np.asarray(b)).max() for b in flat_x) + 1e-6
+    # hardware: bf16-rounded f32 MXU products amplified through 2 layers
+    tol = 1e-2 if jax.default_backend() == "tpu" else 5e-4
     for a, b in zip(flat_x, flat_f):
         np.testing.assert_allclose(
-            np.asarray(a) / gscale, np.asarray(b) / gscale, atol=5e-4
+            np.asarray(a) / gscale, np.asarray(b) / gscale, atol=tol
         )
 
 
@@ -454,7 +462,7 @@ def test_windowed_banded_matches_oracle_multiblock():
         argnums=(0, 1, 2),
     )(q, k, v)
     for a, b in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=max(GRAD_ATOL, 2e-4))
 
 
 def test_windowed_banded_dropout_matches_full_tile(monkeypatch):

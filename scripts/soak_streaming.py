@@ -72,7 +72,7 @@ def cmvn_stats(paths, n=64):
     rows = [json.loads(l) for l in open(paths["train"])][:n]
     vals = []
     for r in rows:
-        w = load_wav(r["audio"]).astype(np.float32) / 32768.0
+        w = load_wav(r["wave"]).astype(np.float32) / 32768.0
         feats = log_mel_spectrogram(jnp.asarray(w)[None], cfg)
         vals.append(np.asarray(feats[0]))
     allv = np.concatenate(vals, axis=0)
@@ -136,7 +136,7 @@ def eval_phase(mode: str = "joint"):
         )
         texts, partials, lat = [], 0, []
         for r in rows:
-            w = load_wav(r["audio"], dtype=np.int16)
+            w = load_wav(r["wave"], dtype=np.int16)
             finals = []
             for i in range(0, len(w), 2000):
                 t0 = time.perf_counter()
@@ -161,7 +161,7 @@ def eval_phase(mode: str = "joint"):
     off_texts, _, _ = run("off")
     off_wall = time.time() - t0
 
-    refs = [r["text"] for r in rows]
+    refs = [r["tgt"] for r in rows]
     spaced = lambda ts: [" ".join(t) for t in ts]
     inc_cer = calculate_cer(spaced(inc_texts), spaced(refs))
     off_cer = calculate_cer(spaced(off_texts), spaced(refs))

@@ -139,6 +139,18 @@ class EnergyGate:
             out.append(seg)
         return out
 
+    def reset(self) -> None:
+        """Clear ALL stream state (tail, pre-roll, open buffer, position)
+        while keeping the gate's parameters — start of a new independent
+        stream. Without this, a reused gate's pre-roll prepends the tail
+        of the previous stream to the next segment."""
+        self._tail = np.zeros((0,), np.int16)
+        self._roll = []
+        self._buf = []
+        self._hangover = 0
+        self._stream_pos = 0
+        self._seg_start = 0
+
     @property
     def in_speech(self) -> bool:
         return bool(self._buf)
@@ -469,6 +481,20 @@ class StreamingRecognizer:
         raise ValueError(f"unknown stream decode mode {self.mode!r}")
 
     # -- public API ------------------------------------------------------
+    def reset_stream(self) -> None:
+        """Start a NEW independent stream on this recognizer: clears the
+        energy gate and any open incremental segment state. Compiled
+        programs (per-bucket encoders, the chunk program) are KEPT, so
+        serving many streams through one recognizer pays tracing/compile
+        once. Stream timestamps restart at 0."""
+        self.gate.reset()
+        self._since_partial = 0
+        self._inc_start = None
+        self._inc_lfr_done = 0
+        self._inc_tails = None
+        self._inc_enc, self._inc_lp = [], []
+        self._inc_ids = []
+
     def feed(self, samples: np.ndarray) -> List[Event]:
         """Feed a chunk of int16 PCM; returns recognition events."""
         events: List[Event] = []

@@ -118,7 +118,7 @@ def eval_phase(mode: str = "joint"):
     import numpy as np
 
     from asr_chinese_e2e_tpu.data.batching import load_wav
-    from asr_chinese_e2e_tpu.decode.cer import calculate_cer
+    from asr_chinese_e2e_tpu.decode.cer import corpus_cer
     from asr_chinese_e2e_tpu.stream import StreamingRecognizer
     from asr_chinese_e2e_tpu.utils.experiment import load_experiment
 
@@ -136,6 +136,9 @@ def eval_phase(mode: str = "joint"):
         )
         texts, partials, lat = [], 0, []
         for r in rows:
+            # each dev wav is an independent stream (the corpus has no
+            # inter-utterance silence for the gate to close on)
+            rec.reset_stream()
             w = load_wav(r["wave"], dtype=np.int16)
             finals = []
             for i in range(0, len(w), 2000):
@@ -151,7 +154,9 @@ def eval_phase(mode: str = "joint"):
             for e in rec.finish():
                 if e.kind == "final":
                     finals.append(e.text)
-            texts.append("".join(finals))
+            # Event.text is the recognizer's space-joined detok
+            # (vocab.ids_to_str); CER runs on plain char strings
+            texts.append("".join(finals).replace(" ", ""))
         return texts, partials, lat
 
     t0 = time.time()
@@ -162,9 +167,8 @@ def eval_phase(mode: str = "joint"):
     off_wall = time.time() - t0
 
     refs = [r["tgt"] for r in rows]
-    spaced = lambda ts: [" ".join(t) for t in ts]
-    inc_cer = calculate_cer(spaced(inc_texts), spaced(refs))
-    off_cer = calculate_cer(spaced(off_texts), spaced(refs))
+    inc_cer = corpus_cer(inc_texts, refs)
+    off_cer = corpus_cer(off_texts, refs)
     match = sum(a == b for a, b in zip(inc_texts, off_texts))
     lat_ms = np.asarray(inc_lat[3:]) * 1e3  # drop compile-bearing first fetches
     out = {

@@ -126,3 +126,36 @@ def test_wav_chunks_roundtrip(tmp_path):
     got = np.concatenate(list(wav_chunks(p, 1000)))
     assert got.dtype == np.int16 and len(got) == len(x)
     np.testing.assert_allclose(got, x, atol=2)
+
+
+def test_reset_stream_isolates_streams(tiny_recognizer):
+    """reset_stream: a reused recognizer must give the SAME result for a
+    segment whether or not a previous (unrelated) stream went through it —
+    without reset, the gate's pre-roll leaks the previous stream's tail
+    into the next segment."""
+    import numpy as np
+
+    from asr_chinese_e2e_tpu.stream import StreamingRecognizer
+
+    model, params, vocab, feat_cfg = tiny_recognizer
+    sr = feat_cfg.sample_rate
+    tt = np.arange(int(0.8 * sr)) / sr
+    seg = (np.sin(2 * np.pi * 523.0 * tt) * 12000).astype(np.int16)
+    other = (np.sin(2 * np.pi * 880.0 * tt) * 12000).astype(np.int16)
+
+    def run_fresh(r, x):
+        finals = []
+        for i in range(0, len(x), 1600):
+            finals += [e.text for e in r.feed(x[i : i + 1600]) if e.kind == "final"]
+        finals += [e.text for e in r.finish() if e.kind == "final"]
+        return finals
+
+    rec = StreamingRecognizer(
+        model, params, vocab, feat_cfg, mode="ctc_greedy",
+        bucket_seconds=(1.0, 2.0),
+    )
+    want = run_fresh(rec, seg)
+    run_fresh(rec, other)  # pollute gate state (ends mid-speech)
+    rec.reset_stream()
+    got = run_fresh(rec, seg)
+    assert got == want

@@ -225,6 +225,10 @@ def main(
     # and +17% step throughput on v5e
     fbank_impl: str = "pallas",  # fused fbank kernel (xla kept as the
     # library default so CPU tests skip the interpreter)
+    dropout_impl: str = "hash",  # fusible index-hash dropout masks —
+    # measured +5.5%% over nn.Dropout rbg masks at identical recipe
+    # semantics (34.1%% vs 32.4%% MFU, BENCH_NOTES r5); library default
+    # stays "rng" for reference-faithful mask provenance
     steps_per_dispatch: int = 1,  # k train steps per jitted dispatch
     # (train_step.make_multi_step) — amortizes remote-dispatch latency
     n_chips: int = 0,  # 0 = all visible devices; k = first k devices (the
@@ -252,7 +256,7 @@ def main(
     feat_cfg = FeatureConfig(fbank_impl=fbank_impl)
     cfg = default_config().build(
         ctc_weight=ctc_weight, dtype=dtype, input_dim=feat_cfg.feature_dim,
-        attn_impl=attn_impl, **model_overrides,
+        attn_impl=attn_impl, dropout_impl=dropout_impl, **model_overrides,
     )
     tcfg = default_train_config().combine(cfg).build(spec_augment=True)
     model = SpeechTransformer(cfg, vocab_size)

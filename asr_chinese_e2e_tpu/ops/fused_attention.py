@@ -303,20 +303,23 @@ def _call_kernel(kernel, n_out, q, k, v, q_lengths, k_lengths, seed, extra=()):
 # are processed in blocks of BQ >= w, so each q-block's allowed keys lie
 # entirely in key-blocks c-1 and c — the kernel fetches exactly those two
 # (the same array passed twice with shifted BlockSpec index maps) and does
-# a (BQ, 2BQ) tile instead of (T, T): at the flagship's T≈272 / band 50
-# that is ~45% less score/softmax work and O(T·BQ) instead of O(T²) VMEM
-# traffic, growing with T. Grad accumulation across the two consumers of
-# each k-block is race-free by construction: every cell writes its
-# contribution to block c-1 into a SEPARATE output (dk_prev) that the host
-# shifts and adds. Opt out with ASR_BANDED_WINDOW=0 (falls back to the
-# full-tile masked kernel) — the A/B knob for benches.
+# a (BQ, 2BQ) tile instead of (T, T).
+#
+# MEASURED NEGATIVE at speech lengths (BENCH_NOTES r5): the full-tile
+# masked kernel beats it at the flagship bucket (28.55 vs 26.51 steps/s at
+# T≈272/band 50) AND at double length (30.85 vs 29.31 at T≈534) — the 5×
+# smaller grid cells and the host-side dk/dv shift-add (four extra
+# (B,H,T,128) arrays materialized per backward) cost more than the ~45%
+# score-FLOP saving. Kept as an OPT-IN (ASR_BANDED_WINDOW=1) for regimes
+# far past the speech buckets where O(T²) must eventually lose; the
+# default banded path is the full-tile in-kernel mask.
 # ---------------------------------------------------------------------------
 
 
 def _banded_window_enabled() -> bool:
     import os
 
-    return os.environ.get("ASR_BANDED_WINDOW", "1") != "0"
+    return os.environ.get("ASR_BANDED_WINDOW", "0") == "1"
 
 
 def _block_q(band: int) -> int:

@@ -427,15 +427,17 @@ def test_encoder_layer_fused_banded_matches_xla():
         )
 
 
-def test_windowed_banded_matches_oracle_multiblock():
+def test_windowed_banded_matches_oracle_multiblock(monkeypatch):
     """The windowed causal-banded kernel (q-blocks over a 2-block key
-    window) must equal the bias-path oracle in logits AND grads at T
-    spanning several blocks, including ragged lengths."""
+    window; opt-in — measured slower than full-tile at speech lengths)
+    must equal the bias-path oracle in logits AND grads at T spanning
+    several blocks, including ragged lengths."""
     from asr_chinese_e2e_tpu.ops.fused_attention import (
         _use_banded_window,
         fused_attention_general,
     )
 
+    monkeypatch.setenv("ASR_BANDED_WINDOW", "1")
     band = 30
     q, k, v = make(seed=21, T=150, D=8)
     assert _use_banded_window(q, k, True, band)
@@ -474,6 +476,7 @@ def test_windowed_banded_dropout_matches_full_tile(monkeypatch):
     band = 20
     q, k, v = make(seed=22, T=100, D=8)
     lengths = jnp.asarray([100, 77], jnp.int32)
+    monkeypatch.setenv("ASR_BANDED_WINDOW", "1")
     win = fa.fused_attention_general(
         q, k, v, lengths, lengths, 5, 0.2, 0.15, True, band
     )

@@ -61,9 +61,17 @@ class BeamResult:
 
     def materialize(self) -> "BeamResult":
         if not isinstance(self.tokens, np.ndarray):
-            self.tokens = np.asarray(self.tokens)
-            self.scores = np.asarray(self.scores)
-            self.finished = np.asarray(self.finished)
+            # Wait for the search program FIRST, then fetch all three
+            # arrays in one batched device_get. Fetching while the program
+            # is still executing races its dispatch RPCs on the remote-TPU
+            # link (the r3 d2h pathology — measured 650 ms vs 180 ms for
+            # the same data), and three separate np.asarray fetches pay
+            # three ~30 ms handle round-trips instead of one (r5 probe:
+            # fetch 79 ms -> 26 ms).
+            jax.block_until_ready(self.scores)
+            self.tokens, self.scores, self.finished = jax.device_get(
+                (self.tokens, self.scores, self.finished)
+            )
         return self
 
     def nbest_ids(self, nbest: int = 1) -> List[List[List[int]]]:

@@ -20,6 +20,8 @@ every step, the hybrid architecture's strongest decode).
 from __future__ import annotations
 
 import json
+import os
+import time
 import sys
 import wave as wavelib
 
@@ -100,10 +102,15 @@ def batched(
         rs = groups[b]
         for i in range(0, len(rs), batch_size):
             chunk = rs[i : i + batch_size]
-            wave = np.zeros((batch_size, b), np.float32)
+            # int16 PCM wire (bit-exact for mono: parse_batch scales by
+            # 1/32768 on device) — HALF the host->device bytes of f32.
+            # The decode path is wire-bound on a remote-TPU link (~57 MB/s
+            # for uncompressible audio, r5 probe), same as training
+            # (wire_dtype=int16, BENCH_NOTES r3)
+            wave = np.zeros((batch_size, b), np.int16)
             lengths = np.zeros((batch_size,), np.int32)
             for j, r in enumerate(chunk):
-                w = load_wav(r["wave"])[:b]
+                w = load_wav(r["wave"], dtype=np.int16)[:b]
                 wave[j, : len(w)] = w
                 lengths[j] = len(w)
             # pad rows duplicate row 0 (valid audio, so no NaN-producing
@@ -112,6 +119,24 @@ def batched(
                 wave[j] = wave[0]
                 lengths[j] = lengths[0]
             yield chunk, wave, lengths
+
+
+_EXP_CACHE: dict = {}
+
+
+def _load_experiment_cached(exp, vocab, which):
+    """Memoized load_experiment: repeat recognize() calls in one process
+    (REPL serving, the bench's warmup+timed passes) reuse the SAME model
+    instance, so the per-model jit caches (beam/joint whole-search
+    programs, encode) hit instead of re-tracing — and the checkpoint is
+    restored once. Keyed on the checkpoint index mtime so a new save
+    invalidates."""
+    idx = os.path.join(exp, "checkpoints", "index.json")
+    mtime = os.path.getmtime(idx) if os.path.exists(idx) else 0.0
+    key = (os.path.abspath(exp), os.path.abspath(vocab), which, mtime)
+    if key not in _EXP_CACHE:
+        _EXP_CACHE[key] = load_experiment(exp, vocab, which)
+    return _EXP_CACHE[key]
 
 
 def recognize(
@@ -135,7 +160,7 @@ def recognize(
     out: str = None,
     **_,
 ):
-    model, params, cfg, feat_cfg, voc = load_experiment(exp, vocab, which)
+    model, params, cfg, feat_cfg, voc = _load_experiment_cached(exp, vocab, which)
     mesh = None
     if mesh_data:
         # data-parallel decode: each shard runs the full device beam on
@@ -171,9 +196,20 @@ def recognize(
     def dispatch(chunk, wave, lengths):
         """Enqueue the full device program(s) for one chunk WITHOUT reading
         any result back — returns a pending handle of device arrays."""
-        enc_out, enc_lens = encode_fn(
-            params, jnp.asarray(wave), jnp.asarray(lengths)
-        )
+        t0 = time.perf_counter()
+        wave_d = jnp.asarray(wave)
+        lengths_d = jnp.asarray(lengths)
+        tacc["d_put"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        enc_out, enc_lens = encode_fn(params, wave_d, lengths_d)
+        tacc["d_enc"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        try:
+            return _dispatch_search(chunk, enc_out, enc_lens)
+        finally:
+            tacc["d_search"] += time.perf_counter() - t0
+
+    def _dispatch_search(chunk, enc_out, enc_lens):
         if mode == "ctc_greedy":
             return chunk, (ctc_lp_fn(params, enc_out), enc_lens)
         if mode == "attention_greedy":
@@ -284,18 +320,44 @@ def recognize(
 
     from asr_chinese_e2e_tpu.data.batching import _prefetched
 
+    timing = os.environ.get("ASR_DECODE_TIMING") == "1"
+    tacc = {"fetch_batch": 0.0, "dispatch": 0.0, "drain": 0.0, "consume": 0.0,
+            "d_put": 0.0, "d_enc": 0.0, "d_search": 0.0}
+
+    def _timed(key, fn, *a):
+        if not timing:
+            return fn(*a)
+        t0 = time.perf_counter()
+        r = fn(*a)
+        tacc[key] += time.perf_counter() - t0
+        return r
+
     chunks = batched(records, batch_size, max_samples, feat_cfg.sample_rate)
     if pipeline_depth > 0:
         chunks = _prefetched(chunks, depth=max(2, pipeline_depth + 1))
     pending_q: "collections.deque" = collections.deque()
-    for chunk, wave, lengths in chunks:
-        pending_q.append(dispatch(chunk, wave, lengths))
+    chunks = iter(chunks)
+    n_chunks = 0
+    while True:
+        item = _timed("fetch_batch", lambda: next(chunks, None))
+        if item is None:
+            break
+        n_chunks += 1
+        pending_q.append(_timed("dispatch", dispatch, *item))
         while len(pending_q) > pipeline_depth:
             c, p = pending_q.popleft()
-            consume(c, drain(c, p))
+            r = _timed("drain", drain, c, p)
+            _timed("consume", consume, c, r)
     while pending_q:
         c, p = pending_q.popleft()
-        consume(c, drain(c, p))
+        r = _timed("drain", drain, c, p)
+        _timed("consume", consume, c, r)
+    if timing and n_chunks:
+        parts = " ".join(
+            f"{k}={v / n_chunks * 1e3:.0f}ms" for k, v in tacc.items()
+        )
+        print(f"# timing per batch ({n_chunks} batches): {parts}",
+              file=sys.stderr)
 
     if refs_all:
         cer = corpus_cer(hyps_all, refs_all)

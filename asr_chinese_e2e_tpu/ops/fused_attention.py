@@ -51,6 +51,14 @@ def _pad_len(t: int) -> int:
     return max(_round_up(t, 8), 128)
 
 
+def _pad_d(d: int) -> int:
+    # Head dim is the matmul CONTRACTION (qk) / output (pv) minor dim;
+    # Mosaic supports a 64-lane minor as a half-tile, and padding the
+    # flagship's D=64 to 128 would double both the MXU passes (zero
+    # columns are real work) and the HBM bytes of every q/k/v/o block.
+    return max(_round_up(d, 64), 64)
+
+
 def _interpret():
     """Off-TPU, use the TPU-emulating interpreter (plain interpret mode
     lacks the TPU PRNG primitives)."""
@@ -255,7 +263,7 @@ def fused_attention(q, k, v, lengths, seed, scale: float, dropout_rate: float):
 def _call_kernel(kernel, n_out, q, k, v, q_lengths, k_lengths, seed, extra=()):
     bsz, heads, tq, d = q.shape
     tk = k.shape[2]
-    tq_pad, tk_pad, d_pad = _pad_len(tq), _pad_len(tk), _round_up(d, 128)
+    tq_pad, tk_pad, d_pad = _pad_len(tq), _pad_len(tk), _pad_d(d)
     n_blocks = 4 if n_out == 1 else 7  # q,k,v(,do) in + o / dq,dk,dv out
     hb = _heads_per_cell(heads, n_blocks, tq_pad, tk_pad, d_pad)
     kernel = functools.partial(kernel, heads_per_cell=hb, total_heads=heads)
@@ -444,7 +452,7 @@ def _call_banded(kernel_fn, n_out, q, k, v, lengths, seed, band, extra=()):
     bq = _block_q(band)
     t_pad = _round_up(t, bq)
     nc = t_pad // bq
-    d_pad = _round_up(d, 128)
+    d_pad = _pad_d(d)
     # per-cell blocks are (hb, BQ, d_pad) — far under budget, so all heads
     # share a cell (n_blocks: q,kp,kc,vp,vc(,do) + outs)
     hb = _heads_per_cell(heads, 6 if n_out == 1 else 11, bq, bq, d_pad)

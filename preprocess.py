@@ -97,6 +97,9 @@ def features(
 
 
 def main():
+    if any(a in ("--help", "-h") for a in sys.argv[1:]):
+        print(__doc__)
+        return
     positional, kwargs = parse_kwargs(sys.argv[1:])
     cmd = positional[0] if positional else "pipeline"
     fn = {

@@ -101,3 +101,31 @@ def test_pallas_ctc_under_jit_and_vjp_composition():
     g1 = jax.grad(f)(logits)
     g2 = jax.grad(f_ref)(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_logits_select_exactly():
+    """The emission-selection einsum reads logits in their STORAGE dtype
+    (one-hot in the same dtype, f32 accumulation): every product has an
+    exactly-representable 0/1 factor, so the selected log-prob equals
+    logsoftmax(logits.astype(f32)) gathered at the label — bit-for-bit,
+    with no f32 (B, T, C) materialization. Pin that equivalence."""
+    import jax.numpy as jnp
+
+    from asr_chinese_e2e_tpu.ops.ctc_pallas import _ctc_fwd
+    from asr_chinese_e2e_tpu.ops.ctc import extend_labels
+
+    logits, logit_lens, labels, ll = make_case(9, B=2, T=6, L=2, C=7)
+    logits = logits.astype(jnp.bfloat16)
+    loss, res = _ctc_fwd(logits, logit_lens, labels, ll, 0)
+    emit = res[4]  # (T, Bp, Sp) padded emission log-probs
+    x32 = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x32, axis=-1)  # (B, T)
+    ext = extend_labels(labels, 0)  # (B, S)
+    want = (
+        jnp.take_along_axis(
+            x32, ext[:, None, :].repeat(x32.shape[1], 1), axis=-1
+        )
+        - lse[:, :, None]
+    )  # (B, T, S) — same association as the implementation
+    got = emit[:, : want.shape[0], : want.shape[2]].transpose(1, 0, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
